@@ -1,0 +1,119 @@
+"""Approximate-nearest-neighbor search over an embedding column (graft
+addition): brute-force cosine top-k baseline (numpy matmul per batch against a
+broadcast query matrix) + an LSH-bucketed variant as the scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from rayssj.joins import _as_dataset
+from rayssj.tokenizers import _list_parts
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    values, lengths = _list_parts(batch[emb_col])
+    if len(lengths) == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    dim = int(lengths[0])
+    return values.to_numpy(zero_copy_only=False).astype(np.float32).reshape(len(lengths), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _TopKScorer:
+    """Actor-pool stage: per batch, cosine of every row against the broadcast
+    query matrix; emits (query_id, key, _sim_score) for each batch-local
+    top-k candidate. A small global top-k reduction finishes the job."""
+
+    def __init__(self, queries_ref, key_col, emb_col, k):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.key_col = key_col
+        self.emb_col = emb_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, self.emb_col))
+        if m.size == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "key": pa.array([], type=batch[self.key_col].type),
+                             "_sim_score": pa.array([], type=pa.float64())})
+        sims = self.q @ m.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        qids = np.repeat(np.arange(len(self.q), dtype=np.int64), k)
+        flat = idx.reshape(-1)
+        scores = sims[np.repeat(np.arange(len(self.q)), k), flat]
+        keys = batch[self.key_col].combine_chunks() if isinstance(batch[self.key_col], pa.ChunkedArray) else batch[self.key_col]
+        return pa.table({"query_id": pa.array(qids),
+                         "key": keys.take(pa.array(flat)),
+                         "_sim_score": pa.array(np.round(scores.astype(np.float64), 6))})
+
+
+def knn_cosine(ds, queries: np.ndarray, key_col: str, emb_col: str = "embedding",
+               k: int = 10, concurrency=(1, 8)):
+    """Exact cosine top-k: distributed batch-local top-k (actor pool holding
+    the broadcast query matrix) → tiny global per-query top-k reduction.
+    Returns Dataset (query_id, key, _sim_score) with exactly k rows/query."""
+    ds = _as_dataset(ds)
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partial = ds.select_columns([key_col, emb_col]).map_batches(
+        _TopKScorer, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(queries_ref=qref, key_col=key_col,
+                                   emb_col=emb_col, k=k),
+        concurrency=concurrency)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(min(k, len(g)), "_sim_score", keep="first") \
+                .sort_values(["_sim_score", "key"], ascending=[False, True])
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_cosine_lsh(ds, queries: np.ndarray, key_col: str,
+                   emb_col: str = "embedding", k: int = 10, n_planes: int = 4,
+                   n_probe_bits: int = 1, seed: int = 42, concurrency=(1, 8)):
+    """LSH-bucketed ANN (scale path): rows are pre-filtered to buckets whose
+    hyperplane signature is within ``n_probe_bits`` of a query's signature —
+    only that fraction of rows is scored. Approximate by construction."""
+    ds = _as_dataset(ds)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    def sig_of(m: np.ndarray) -> np.ndarray:
+        bits = (m @ planes > 0).astype(np.uint32)
+        out = np.zeros(len(m), dtype=np.uint32)
+        for j in range(n_planes):
+            out = (out << np.uint32(1)) | bits[:, j]
+        return out
+
+    qsig = sig_of(q)
+    # expand query signatures to all buckets within hamming n_probe_bits
+    probe: set[int] = set()
+    for s in qsig.tolist():
+        probe.add(s)
+        if n_probe_bits >= 1:
+            for b in range(n_planes):
+                probe.add(s ^ (1 << b))
+    probe_arr = np.array(sorted(probe), dtype=np.uint32)
+    probe_ref = ray.put(probe_arr)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        if m.size == 0:
+            return batch
+        s = sig_of(m)
+        keep = np.isin(s, ray.get(probe_ref))
+        return batch.filter(pa.array(keep))
+
+    filtered = ds.select_columns([key_col, emb_col]).map_batches(
+        prefilter, batch_format="pyarrow")
+    return knn_cosine(filtered, queries, key_col, emb_col, k, concurrency)

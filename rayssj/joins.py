@@ -1,0 +1,493 @@
+"""Public join API — Ray-Data-native set-similarity and edit-distance joins.
+
+Reference semantics: SURVEY.md §2.1 rows 1-6 and §2.2
+[ref: py_stringsimjoin/join/jaccard_join.py:~20, join/set_sim_join_py.py:~30,
+join/edit_distance_join.py:~25 †U]. The execution is NOT the reference's
+index-probe loop: both sides are tokenized in zero-copy Arrow ``map_batches``
+stages, globally token-ordered, exploded to prefix-token rows and co-grouped by
+one ``groupby(bucket)`` shuffle where numpy kernels generate, prune
+(size/positional bounds) and verify candidates (SURVEY.md §2.4, §7.3).
+
+Pipeline (lazy, streaming end-to-end):
+  read → tokenize(map_batches) → [token-freq combiner → groupby → rank dict
+  broadcast] → rank-encode + prefix-explode (actor pool, map_batches) →
+  groupby(ptok % NB) → bucket kernel (pair-gen + verify) → out-attr join →
+  output Dataset
+
+Scale notes: the only broadcast state is the vocabulary rank index
+(SURVEY.md §4 delta 3); exploded rows carry urls + int64 rank arrays, never the
+raw html/text (set measures). ``num_buckets`` bounds shuffle fan-in and is the
+salting granularity knob.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from rayssj import filter_utils as fu
+from rayssj.kernels import make_edit_distance_bucket_kernel, make_set_sim_bucket_kernel
+from rayssj.ordering import TOKENS_COL, build_token_order, encode_ranks
+from rayssj.validation import validate_join_inputs
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+def join_num_partitions() -> int:
+    """Partition count for Dataset.join (hash-shuffle aggregator actors):
+    scale with cluster CPUs — 64 aggregators on a 4-CPU local cluster would
+    starve the actor-pool stages (observed deadlock)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(32, cpus))
+
+
+def _as_dataset(table):
+    import ray.data as rd
+
+    if isinstance(table, rd.Dataset):
+        return table
+    if isinstance(table, pd.DataFrame):
+        return rd.from_pandas(table.reset_index(drop=True))
+    if isinstance(table, pa.Table):
+        return rd.from_arrow(table)
+    raise AssertionError("input table must be a ray.data.Dataset, pandas DataFrame or pyarrow Table")
+
+
+def _clone_tokenizer(tokenizer, return_set: bool):
+    tk = copy.copy(tokenizer)
+    tk.set_return_set(return_set)
+    return tk
+
+
+def _tokenize_stage(ds, key_attr: str, join_attr: str, tokenizer, keep_string: bool):
+    """select [key, join] → (key, [s,] __tokens); drops nothing yet."""
+    cols = [key_attr, join_attr]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = tokenizer.tokenize_batch(batch[join_attr])
+        out = {"key": batch[key_attr], TOKENS_COL: toks}
+        if keep_string:
+            out["s"] = batch[join_attr]
+        return pa.table(out)
+
+    return ds.select_columns(cols).map_batches(fn, batch_format="pyarrow",
+                                               zero_copy_batch=True)
+
+
+def _drop_missing(tok_ds):
+    """Rows with a null join attr (null __tokens) are excluded from the join
+    [ref: utils/missing_value_handler.py †U]."""
+    return tok_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[TOKENS_COL])),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _SetSimExploder:
+    """Actor-pool stage: rank-encode token lists and explode prefix tokens.
+
+    Holds the broadcast rank index (loaded ONCE per actor in __init__, per the
+    stateful-stage rule); per batch emits one row per (record, prefix token).
+    """
+
+    def __init__(self, order_ref, sim_measure_type, threshold, side, num_buckets):
+        self.order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
+        self.measure = sim_measure_type
+        self.threshold = threshold
+        self.side = side
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        order = self.order
+        rv, lengths = encode_ranks(batch[TOKENS_COL], order)
+        n = len(lengths)
+        sizes = lengths.astype(np.int64)
+        pl = fu.get_prefix_length(sizes, self.measure, self.threshold)
+        pl = np.minimum(pl, sizes)
+        # OVERLAP_COEFFICIENT: only the SMALLER record's prefix is guaranteed
+        # to intersect the other's FULL token set (unbounded size ratio), so
+        # emit every token; the bucket kernel applies the true-prefix rule on
+        # the smaller side (see make_set_sim_bucket_kernel).
+        emit_len = sizes if self.measure == fu.OVERLAP_COEFFICIENT else pl
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), emit_len)
+        total = int(emit_len.sum())
+        if total == 0:
+            return _empty_exploded(batch["key"].type)
+        first = np.zeros(n, dtype=np.int64)
+        np.cumsum(emit_len[:-1], out=first[1:])
+        pos = np.arange(total, dtype=np.int64) - first[row_ids]
+        ptok = rv[offsets[row_ids] + pos]
+        ranks_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), pa.array(rv, type=pa.int64()),
+        ).cast(pa.large_list(pa.int64()))
+        keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
+        take_idx = pa.array(row_ids, type=pa.int64())
+        return pa.table({
+            "ptok": pa.array(ptok),
+            "pos": pa.array(pos.astype(np.int32)),
+            "side": pa.array(np.full(total, self.side, dtype=np.int8)),
+            "key": keys.take(take_idx),
+            "size": pa.array(sizes[row_ids].astype(np.int32)),
+            "pl": pa.array(pl[row_ids].astype(np.int32)),
+            "ranks": ranks_list.take(take_idx),
+            "bucket": pa.array(ptok % self.num_buckets),
+        })
+
+
+def _empty_exploded(key_type):
+    return pa.table({
+        "ptok": pa.array([], type=pa.int64()),
+        "pos": pa.array([], type=pa.int32()),
+        "side": pa.array([], type=pa.int8()),
+        "key": pa.array([], type=key_type),
+        "size": pa.array([], type=pa.int32()),
+        "pl": pa.array([], type=pa.int32()),
+        "ranks": pa.array([], type=pa.large_list(pa.int64())),
+        "bucket": pa.array([], type=pa.int64()),
+    })
+
+
+class _EditDistExploder:
+    """Explode distinct ordered-prefix q-grams for the edit-distance join."""
+
+    def __init__(self, order_ref, qval, threshold, side, num_buckets):
+        self.order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
+        self.qval = qval
+        self.threshold = threshold
+        self.side = side
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        order = self.order
+        rv, lengths = encode_ranks(batch[TOKENS_COL], order)  # bag, sorted by rank
+        n = len(lengths)
+        pl = np.minimum(int(self.qval * self.threshold + 1), lengths).astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        strs = batch["s"].combine_chunks() if isinstance(batch["s"], pa.ChunkedArray) else batch["s"]
+        slens = pc.utf8_length(strs).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
+
+        # distinct prefix ranks per row (prefix slice of the sorted bag)
+        row_ids_all = np.repeat(np.arange(n, dtype=np.int64), pl)
+        if len(row_ids_all) == 0:
+            return _empty_ed_exploded(keys.type)
+        first = np.zeros(n, dtype=np.int64)
+        np.cumsum(pl[:-1], out=first[1:])
+        within = np.arange(len(row_ids_all), dtype=np.int64) - first[row_ids_all]
+        pref_vals = rv[offsets[row_ids_all] + within]
+        # drop duplicate (row, rank): sorted within row, so dup iff same as prev
+        keep = np.ones(len(pref_vals), dtype=bool)
+        keep[1:] = (row_ids_all[1:] != row_ids_all[:-1]) | (pref_vals[1:] != pref_vals[:-1])
+        row_ids = row_ids_all[keep]
+        ptok = pref_vals[keep]
+        dcounts = np.bincount(row_ids, minlength=n)
+        doffsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dcounts, out=doffsets[1:])
+        pref_list = pa.ListArray.from_arrays(
+            pa.array(doffsets, type=pa.int64()), pa.array(ptok, type=pa.int64()),
+        ).cast(pa.large_list(pa.int64()))
+        take_idx = pa.array(row_ids, type=pa.int64())
+        return pa.table({
+            "ptok": pa.array(ptok),
+            "side": pa.array(np.full(len(row_ids), self.side, dtype=np.int8)),
+            "key": keys.take(take_idx),
+            "slen": pa.array(slens[row_ids].astype(np.int32)),
+            "ranks": pref_list.take(take_idx),
+            "s": strs.take(take_idx),
+            "bucket": pa.array(ptok % self.num_buckets),
+        })
+
+
+def _empty_ed_exploded(key_type):
+    return pa.table({
+        "ptok": pa.array([], type=pa.int64()),
+        "side": pa.array([], type=pa.int8()),
+        "key": pa.array([], type=key_type),
+        "slen": pa.array([], type=pa.int32()),
+        "ranks": pa.array([], type=pa.large_list(pa.int64())),
+        "s": pa.array([], type=pa.string()),
+        "bucket": pa.array([], type=pa.int64()),
+    })
+
+
+def _empty_token_keys(tok_ds):
+    """Keys of rows whose (non-null) token set is empty — the allow_empty side
+    path; expected rare, collected to the driver (bounded; SURVEY.md §7.4)."""
+    def fn(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(t[TOKENS_COL])
+        mask = pc.and_(pc.is_valid(t[TOKENS_COL]), pc.equal(lens, 0))
+        return t.filter(mask).select(["key"])
+
+    return [r["key"] for r in
+            tok_ds.map_batches(fn, batch_format="pyarrow").take_all()]
+
+
+def _missing_keys(tok_ds):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t[TOKENS_COL])).select(["key"])
+
+    return [r["key"] for r in
+            tok_ds.map_batches(fn, batch_format="pyarrow").take_all()]
+
+
+def _all_keys(tok_ds):
+    return [r["key"] for r in tok_ds.select_columns(["key"]).take_all()]
+
+
+def _pairs_table(l_keys, r_keys, scores) -> pa.Table:
+    return pa.table({"l_key": pa.array(l_keys), "r_key": pa.array(r_keys),
+                     "_sim_score": pa.array(scores, type=pa.float64())})
+
+
+
+
+def _drop_if_present(ds, cols):
+    """Tolerant column drop (Dataset.join drops the right key itself when the
+    names differ; don't fail when it already did)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        present = [c for c in cols if c in t.schema.names]
+        return t.drop_columns(present) if present else t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+def _rename_ds(ds, mapping: dict):
+    """rename via an Arrow map_batches (Dataset.rename_columns chokes on
+    pandas-backed blocks in Ray 2.49)."""
+    if not mapping:
+        return ds
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.schema.names])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+def _shape_output(pairs_ds, l_ds, r_ds, l_key_attr, r_key_attr,
+                  l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                  out_sim_score, num_buckets):
+    """Rename key cols, hash-join out-attrs back by key, order columns."""
+    l_key_col = l_out_prefix + l_key_attr
+    r_key_col = r_out_prefix + r_key_attr
+    pairs_ds = _rename_ds(pairs_ds, {"l_key": l_key_col, "r_key": r_key_col})
+
+    def attach(ds, src, key_attr, out_attrs, prefix, key_col):
+        if not out_attrs:
+            return ds
+        side = src.select_columns([key_attr] + list(out_attrs))
+        renames = {a: prefix + a for a in out_attrs}
+        renames[key_attr] = "__join_key"
+        side = _rename_ds(side, renames)
+        joined = ds.join(side, "inner", num_partitions=join_num_partitions(),
+                         on=(key_col,), right_on=("__join_key",))
+        return _drop_if_present(joined, ["__join_key"])
+
+    pairs_ds = attach(pairs_ds, l_ds, l_key_attr, l_out_attrs, l_out_prefix, l_key_col)
+    pairs_ds = attach(pairs_ds, r_ds, r_key_attr, r_out_attrs, r_out_prefix, r_key_col)
+
+    cols = [l_key_col, r_key_col]
+    cols += [l_out_prefix + a for a in (l_out_attrs or [])]
+    cols += [r_out_prefix + a for a in (r_out_attrs or [])]
+    if out_sim_score:
+        cols.append("_sim_score")
+        return pairs_ds.select_columns(cols)
+    return pairs_ds.select_columns(cols)
+
+
+def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+                  tokenizer, sim_measure_type, threshold, comp_op=">=",
+                  allow_empty=True, allow_missing=False,
+                  l_out_attrs=None, r_out_attrs=None,
+                  l_out_prefix="l_", r_out_prefix="r_",
+                  out_sim_score=True, n_jobs=1, show_progress=False,
+                  self_join=False, num_buckets=DEFAULT_NUM_BUCKETS):
+    import ray.data as rd
+
+    l_ds = _as_dataset(ltable)
+    r_ds = l_ds if self_join else _as_dataset(rtable)
+    validate_join_inputs(l_ds, r_ds, l_key_attr, r_key_attr, l_join_attr,
+                         r_join_attr, tokenizer, threshold, comp_op,
+                         sim_measure_type, l_out_attrs, r_out_attrs)
+    tk = _clone_tokenizer(tokenizer, return_set=True)
+
+    l_tok = _tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=False)
+    r_tok = l_tok if self_join else _tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=False)
+    l_clean = _drop_missing(l_tok)
+    r_clean = l_clean if self_join else _drop_missing(r_tok)
+
+    if self_join:
+        order = build_token_order(l_clean)
+    else:
+        order = build_token_order(l_clean, r_clean)
+    order_ref = ray.put(order)
+
+    expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
+                       num_buckets=num_buckets)
+    l_expl = l_clean.map_batches(
+        _SetSimExploder, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), num_cpus=0.5,
+        fn_constructor_kwargs=dict(order_ref=order_ref, side=0, **expl_kwargs))
+    if self_join:
+        exploded = l_expl
+    else:
+        r_expl = r_clean.map_batches(
+            _SetSimExploder,
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8), num_cpus=0.5,
+            fn_constructor_kwargs=dict(order_ref=order_ref, side=1, **expl_kwargs))
+        exploded = l_expl.union(r_expl)
+
+    kernel = make_set_sim_bucket_kernel(sim_measure_type, threshold, comp_op,
+                                        self_join=self_join)
+    pairs = exploded.groupby("bucket").map_groups(kernel, batch_format="pyarrow")
+
+    extra = []
+    comp_fn = fu.COMP_OP_MAP[comp_op]
+    if allow_empty and comp_fn(1.0, threshold):
+        l_empty = _empty_token_keys(l_clean)
+        r_empty = l_empty if self_join else _empty_token_keys(r_clean)
+        ek_l, ek_r = [], []
+        if self_join:
+            for i, a in enumerate(l_empty):
+                for b in l_empty[i + 1:]:
+                    lo, hi = (a, b) if a <= b else (b, a)
+                    ek_l.append(lo)
+                    ek_r.append(hi)
+        else:
+            for a in l_empty:
+                for b in r_empty:
+                    ek_l.append(a)
+                    ek_r.append(b)
+        if ek_l:
+            extra.append(_pairs_table(ek_l, ek_r, [1.0] * len(ek_l)))
+    if allow_missing:
+        extra.extend(_missing_pair_tables(l_clean, l_tok, r_tok, self_join))
+    for tbl in extra:
+        pairs = pairs.union(rd.from_arrow(tbl))
+
+    return _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
+                         l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                         out_sim_score, num_buckets)
+
+
+def _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
+    """allow_missing: (missing_l × all_r) ∪ (nonmissing_l × missing_r), NaN
+    scores [ref: utils/missing_value_handler.py:~15 †U]. Missing keys are
+    collected to the driver (bounded side path, SURVEY.md §7.4)."""
+    out = []
+    l_missing = _missing_keys(l_tok)
+    r_missing = l_missing if self_join else _missing_keys(r_tok)
+    if not l_missing and not r_missing:
+        return out
+    r_all = _all_keys(r_tok if not self_join else l_tok)
+    l_nonmissing = _all_keys(l_clean)
+    nan = float("nan")
+    if l_missing:
+        lk = [a for a in l_missing for _ in r_all]
+        rk = [b for _ in l_missing for b in r_all]
+        out.append(_pairs_table(lk, rk, [nan] * len(lk)))
+    if r_missing:
+        lk = [a for a in l_nonmissing for _ in r_missing]
+        rk = [b for _ in l_nonmissing for b in r_missing]
+        if lk:
+            out.append(_pairs_table(lk, rk, [nan] * len(lk)))
+    return out
+
+
+def jaccard_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+                 tokenizer, threshold, **kwargs):
+    """Jaccard set-similarity join [ref: join/jaccard_join.py:~20 †U]."""
+    return _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                         r_join_attr, tokenizer, fu.JACCARD, threshold, **kwargs)
+
+
+def cosine_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+                tokenizer, threshold, **kwargs):
+    """Set-cosine (Ochiai) similarity join [ref: join/cosine_join.py:~20 †U]."""
+    return _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                         r_join_attr, tokenizer, fu.COSINE, threshold, **kwargs)
+
+
+def dice_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+              tokenizer, threshold, **kwargs):
+    """Dice similarity join [ref: join/dice_join.py:~20 †U]."""
+    return _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                         r_join_attr, tokenizer, fu.DICE, threshold, **kwargs)
+
+
+def overlap_coefficient_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                             r_join_attr, tokenizer, threshold, **kwargs):
+    """Overlap-coefficient join [ref: join/overlap_coefficient_join.py:~20 †U]."""
+    return _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                         r_join_attr, tokenizer, fu.OVERLAP_COEFFICIENT, threshold,
+                         **kwargs)
+
+
+def overlap_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+                 tokenizer, threshold, **kwargs):
+    """Overlap (shared distinct token count) join [ref: join/overlap_join.py:~20 †U]."""
+    kwargs.setdefault("allow_empty", False)
+    return _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                         r_join_attr, tokenizer, fu.OVERLAP, threshold, **kwargs)
+
+
+def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
+                       r_join_attr, tokenizer, threshold, comp_op="<=",
+                       allow_missing=False, l_out_attrs=None, r_out_attrs=None,
+                       l_out_prefix="l_", r_out_prefix="r_", out_sim_score=True,
+                       n_jobs=1, show_progress=False, self_join=False,
+                       num_buckets=DEFAULT_NUM_BUCKETS):
+    """Edit-distance join [ref: join/edit_distance_join.py:~25 †U].
+
+    Blocking on ordered q-gram-bag prefixes (length q·t+1); verification is
+    character-level Levenshtein, vectorized ACROSS candidate pairs.
+    """
+    import ray.data as rd
+
+    l_ds = _as_dataset(ltable)
+    r_ds = l_ds if self_join else _as_dataset(rtable)
+    validate_join_inputs(l_ds, r_ds, l_key_attr, r_key_attr, l_join_attr,
+                         r_join_attr, tokenizer, threshold, comp_op,
+                         fu.EDIT_DISTANCE, l_out_attrs, r_out_attrs)
+    tk = _clone_tokenizer(tokenizer, return_set=False)
+
+    l_tok = _tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=True)
+    r_tok = l_tok if self_join else _tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=True)
+    l_clean = _drop_missing(l_tok)
+    r_clean = l_clean if self_join else _drop_missing(r_tok)
+
+    order = build_token_order(l_clean) if self_join else build_token_order(l_clean, r_clean)
+    order_ref = ray.put(order)
+
+    expl_kwargs = dict(qval=tk.qval, threshold=threshold, num_buckets=num_buckets)
+    l_expl = l_clean.map_batches(
+        _EditDistExploder, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), num_cpus=0.5,
+        fn_constructor_kwargs=dict(order_ref=order_ref, side=0, **expl_kwargs))
+    if self_join:
+        exploded = l_expl
+    else:
+        r_expl = r_clean.map_batches(
+            _EditDistExploder, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 8), num_cpus=0.5,
+            fn_constructor_kwargs=dict(order_ref=order_ref, side=1, **expl_kwargs))
+        exploded = l_expl.union(r_expl)
+
+    kernel = make_edit_distance_bucket_kernel(threshold, comp_op, self_join=self_join)
+    pairs = exploded.groupby("bucket").map_groups(kernel, batch_format="pyarrow")
+
+    if allow_missing:
+        for tbl in _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
+            pairs = pairs.union(rd.from_arrow(tbl))
+
+    return _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
+                         l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                         out_sim_score, num_buckets)

@@ -1,0 +1,113 @@
+"""apply_matcher — score an arbitrary candidate set with a user sim function.
+
+Reference: [ref: py_stringsimjoin/matcher/apply_matcher.py:~30 †U] (SURVEY.md
+§2 #14). Ray design: the candset Dataset is hash-joined to both input tables on
+their keys to fetch the match attrs (the reference builds driver-side
+key→row dicts; at scale that is the broadcast-vs-shuffle choice — we shuffle),
+then a ``map_batches`` stage applies the (arbitrary Python) tokenizer + sim
+function per pair and filters on ``comp_op threshold``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rayssj.filter_utils import COMP_OP_MAP
+from rayssj.joins import DEFAULT_NUM_BUCKETS, _as_dataset, _drop_if_present, _rename_ds, join_num_partitions
+from rayssj.validation import validate_attr, validate_comp_op, _schema_of
+
+_L_STR = "__l_match_str"
+_R_STR = "__r_match_str"
+
+
+def fetch_pair_strings(candset, candset_l_key_attr, candset_r_key_attr,
+                       ltable, rtable, l_key_attr, r_key_attr,
+                       l_fetch_attr, r_fetch_attr,
+                       l_col=_L_STR, r_col=_R_STR,
+                       num_partitions=DEFAULT_NUM_BUCKETS,
+                       l_extra=None, r_extra=None,
+                       l_extra_prefix="l_", r_extra_prefix="r_"):
+    """Join candset (l_key, r_key) to both tables to attach one attr per side
+    (plus optional prefixed extra out-attrs). Keeps all candset columns."""
+    cand = _as_dataset(candset)
+    l_ds = _as_dataset(ltable)
+    r_ds = _as_dataset(rtable)
+
+    def attach(cand, src, key_attr, fetch_attr, out_col, cand_key, extra, extra_prefix):
+        cols = [key_attr, fetch_attr] + [a for a in (extra or []) if a != fetch_attr]
+        side = src.select_columns(list(dict.fromkeys(cols)))
+        renames = {key_attr: "__jk", fetch_attr: out_col}
+        for a in (extra or []):
+            if a != fetch_attr:
+                renames[a] = extra_prefix + a
+        side = _rename_ds(side, renames)
+        out = cand.join(side, "inner", num_partitions=min(num_partitions, join_num_partitions()),
+                        on=(cand_key,), right_on=("__jk",))
+        return _drop_if_present(out, ["__jk"])
+
+    cand = attach(cand, l_ds, l_key_attr, l_fetch_attr, l_col,
+                  candset_l_key_attr, l_extra, l_extra_prefix)
+    cand = attach(cand, r_ds, r_key_attr, r_fetch_attr, r_col,
+                  candset_r_key_attr, r_extra, r_extra_prefix)
+    return cand
+
+
+def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
+                  ltable, rtable, l_key_attr, r_key_attr,
+                  l_match_attr, r_match_attr, tokenizer, sim_function,
+                  threshold, comp_op=">=", allow_missing=False,
+                  l_out_attrs=None, r_out_attrs=None,
+                  l_out_prefix="l_", r_out_prefix="r_",
+                  out_sim_score=True, n_jobs=1, show_progress=False,
+                  num_partitions=DEFAULT_NUM_BUCKETS):
+    """Score each candset pair with ``sim_function`` (over tokenized strings if
+    ``tokenizer`` is given, else raw strings); keep pairs passing
+    ``comp_op threshold``. Missing match attrs: dropped, or kept with NaN score
+    when ``allow_missing`` [ref: matcher/apply_matcher.py:~60-200 †U]."""
+    validate_comp_op(comp_op)
+    cand = _as_dataset(candset)
+    cand_schema = _schema_of(cand)
+    validate_attr(candset_l_key_attr, cand_schema.names, "key", "candset")
+    validate_attr(candset_r_key_attr, cand_schema.names, "key", "candset")
+    orig_cols = [c for c in cand_schema.names]
+
+    fetched = fetch_pair_strings(
+        cand, candset_l_key_attr, candset_r_key_attr, ltable, rtable,
+        l_key_attr, r_key_attr, l_match_attr, r_match_attr,
+        num_partitions=num_partitions,
+        l_extra=l_out_attrs, r_extra=r_out_attrs,
+        l_extra_prefix=l_out_prefix, r_extra_prefix=r_out_prefix)
+
+    comp_fn = COMP_OP_MAP[comp_op]
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ls = batch[_L_STR]
+        rs = batch[_R_STR]
+        scores = np.full(len(batch), np.nan, dtype=np.float64)
+        keep = np.zeros(len(batch), dtype=bool)
+        for i, (a, b) in enumerate(zip(ls, rs)):
+            a_missing = a is None or (isinstance(a, float) and math.isnan(a))
+            b_missing = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_missing or b_missing:
+                keep[i] = allow_missing
+                continue
+            if tokenizer is not None:
+                a, b = tokenizer.tokenize(a), tokenizer.tokenize(b)
+            s = float(sim_function(a, b))
+            scores[i] = s
+            keep[i] = bool(comp_fn(s, threshold))
+        out = batch.loc[keep].copy()
+        out["_sim_score"] = scores[keep]
+        return out
+
+    scored = fetched.map_batches(score, batch_format="pandas")
+    cols = list(orig_cols)
+    cols += [l_out_prefix + a for a in (l_out_attrs or [])]
+    cols += [r_out_prefix + a for a in (r_out_attrs or [])]
+    if out_sim_score:
+        cols.append("_sim_score")
+    return scored.select_columns(cols)

@@ -1,0 +1,60 @@
+"""profile_table_for_join (SURVEY.md §2 #15).
+
+Reference: [ref: py_stringsimjoin/profiler/profiler.py:~15 †U] — per attribute:
+unique-value count, missing-value count, and a comment on join-key suitability.
+Ray design: one distributed pass per column batch computing partial
+(null count, row count) + a distinct-count aggregate; no driver-side scan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayssj.joins import _as_dataset
+
+
+def profile_table_for_join(input_table, profile_attrs=None) -> pd.DataFrame:
+    ds = _as_dataset(input_table)
+    schema = ds.schema()
+    attrs = list(profile_attrs) if profile_attrs else list(schema.names)
+    for a in attrs:
+        if a not in schema.names:
+            raise AssertionError(f"attribute '{a}' not found in input table")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = {"attr": [], "n": [], "nulls": []}
+        for a in attrs:
+            rows["attr"].append(a)
+            rows["n"].append(len(batch[a]))
+            rows["nulls"].append(batch[a].null_count)
+        return pa.table({"attr": pa.array(rows["attr"]),
+                         "n": pa.array(rows["n"], type=pa.int64()),
+                         "nulls": pa.array(rows["nulls"], type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("attr")
+             .aggregate(Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"))
+             .to_pandas().set_index("attr"))
+
+    uniques = {a: len(ds.unique(a)) for a in attrs}
+
+    out = []
+    for a in attrs:
+        n = int(agg.loc[a, "n"])
+        nulls = int(agg.loc[a, "nulls"])
+        uq = uniques[a]
+        comments = []
+        if uq != n:
+            comments.append("Joining on this attribute will ignore "
+                            f"{n - uq} rows.")
+        if nulls > 0:
+            comments.append(f"Joining on this attribute will ignore {nulls} "
+                            "rows with missing value.")
+        out.append({"Attribute": a, "Unique values": uq,
+                    "Missing values": nulls,
+                    "Comments": " ".join(comments) if comments else "This attribute can be used as a key attribute."})
+    return pd.DataFrame(out).set_index("Attribute")
