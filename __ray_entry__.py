@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship record-linkage pipeline (synthesize pages →
+extract text → jaccard self-join → transitive clustering) on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver cross-checks at
+sf0.01. Ray is initialised by the driver — nothing here calls ray.init().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float parity note: engine similarity math is float64 with the same expression
+shape as the SQL (e.g. ``o / (n1 + n2 - o)``), so value hashes match
+bit-for-bit; size-bound formulas replicate the engine's 1e-9 ceil/floor guard.
 """
 
 from __future__ import annotations
@@ -18,27 +16,357 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_EN_STOP = ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _embs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+# --------------------------------------------------------------------- joins
+
+
+def _set_join(measure_fn, threshold, tokenizer=None, **kw):
+    def run(sf_dir: str):
+        from rayssj.tokenizers import WhitespaceTokenizer
+
+        tok = tokenizer or WhitespaceTokenizer()
+        return measure_fn(_docs(sf_dir), None, "doc_id", "doc_id", "text",
+                          "text", tok, threshold, self_join=True, **kw)
+
+    return run
+
+
+def _q_edit_distance(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from rayssj.joins import edit_distance_join
+    from rayssj.tokenizers import QgramTokenizer
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("text"), "text",
+                               pc.utf8_slice_codeunits(t["text"], 0, 40)),
+        batch_format="pyarrow")
+    return edit_distance_join(ds, None, "doc_id", "doc_id", "text", "text",
+                              QgramTokenizer(2), 3, self_join=True)
+
+
+# ------------------------------------------------------------ filters/matcher
+
+
+def _q_overlap_filter(sf_dir: str):
+    from rayssj.filters import OverlapFilter
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    f = OverlapFilter(WhitespaceTokenizer(), overlap_size=25)
+    return f.filter_tables(_docs(sf_dir), None, "doc_id", "doc_id", "text",
+                           "text", self_join=True)
+
+
+def _q_prefix_filter(sf_dir: str):
+    from rayssj.filters import PrefixFilter
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    f = PrefixFilter(WhitespaceTokenizer(), "JACCARD", 0.9)
+    return f.filter_tables(_docs(sf_dir), None, "doc_id", "doc_id", "text",
+                           "text", self_join=True)
+
+
+def _q_size_filter(sf_dir: str):
+    from rayssj.filters import SizeFilter
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    f = SizeFilter(WhitespaceTokenizer(), "JACCARD", 0.9)
+    return f.filter_tables(_docs(sf_dir), None, "doc_id", "doc_id", "text",
+                           "text", self_join=True)
+
+
+def _q_apply_matcher(sf_dir: str):
+    from rayssj.filters import OverlapFilter
+    from rayssj.matcher import apply_matcher
+    from rayssj.filter_utils import jaccard
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    docs = _docs(sf_dir)
+    tok = WhitespaceTokenizer()
+    cand = OverlapFilter(tok, overlap_size=25).filter_tables(
+        docs, None, "doc_id", "doc_id", "text", "text", self_join=True)
+    return apply_matcher(cand, "l_doc_id", "r_doc_id", docs, docs,
+                         "doc_id", "doc_id", "text", "text",
+                         WhitespaceTokenizer(), jaccard, 0.8)
+
+
+def _q_profile(sf_dir: str):
+    from rayssj.profiler import profile_table_for_join
+
+    prof = profile_table_for_join(_docs(sf_dir, ("doc_id", "text", "lang")))
+    out = prof.reset_index()[["Attribute", "Unique values", "Missing values"]]
+    return out.rename(columns={"Attribute": "attr",
+                               "Unique values": "n_unique",
+                               "Missing values": "n_missing"})
+
+
+# ------------------------------------------------------------- graft queries
+
+
+def _q_exact_dedup(sf_dir: str):
+    from rayssj.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir), "text", "doc_id")
+
+
+def _q_token_counts(sf_dir: str):
+    from rayssj.textstats import TokenCounter
+
+    return (_docs(sf_dir)
+            .map_batches(TokenCounter, batch_format="pyarrow", concurrency=2,
+                         fn_constructor_kwargs=dict(text_col="text"))
+            .select_columns(["doc_id", "ws_tokens", "bpe_tokens"]))
+
+
+def _q_quality(sf_dir: str):
+    from rayssj.textstats import quality_stats_batch
+
+    return (_docs(sf_dir)
+            .map_batches(quality_stats_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_chars", "n_tokens", "mean_token_len"]))
+
+
+def _q_langid(sf_dir: str):
+    from rayssj.textstats import LangIdScorer
+
+    return (_docs(sf_dir)
+            .map_batches(LangIdScorer, batch_format="pyarrow", concurrency=2)
+            .select_columns(["doc_id", "lang_pred", "lang_score"]))
+
+
+def _q_fingerprint(sf_dir: str):
+    from rayssj.textstats import fingerprint_batch
+
+    return (_docs(sf_dir)
+            .map_batches(fingerprint_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "fingerprint"]))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from rayssj.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), "doc_id", "text",
+                             jaccard_threshold=0.9)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from rayssj.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), "doc_id", "text", max_hamming=3)
+
+
+def _q_embedding_pairs(sf_dir: str):
+    from rayssj.dedup import embedding_cosine_pairs
+
+    out = embedding_cosine_pairs(_embs(sf_dir), "vec_id", "embedding",
+                                 threshold=0.4, num_buckets=1)
+    # drop score: float32-source cosine last-ulp differences vs DuckDB would
+    # break the value-hash; pair identity is the contract here
+    return out.select_columns(["l_vec_id", "r_vec_id"])
+
+
+def _q_ann_topk(sf_dir: str):
+    from rayssj.ann import knn_cosine
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = np.array(emb["embedding"].to_pylist()[:5], dtype=np.float32)
+    out = knn_cosine(_embs(sf_dir), queries, "vec_id", "embedding", k=10)
+    return out.select_columns(["query_id", "key"])
+
+
+def _q_cluster(sf_dir: str):
+    from rayssj.cluster import connected_components
+    from rayssj.joins import jaccard_join
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    pairs = jaccard_join(_docs(sf_dir), None, "doc_id", "doc_id", "text",
+                         "text", WhitespaceTokenizer(), 0.9, self_join=True)
+    return connected_components(pairs, "l_doc_id", "r_doc_id")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents → synthetic CC-style pages
+    (url, warc_ts, html, text, lang) → extract text (20% of rows must derive
+    it from html) → jaccard self-join blocking+verify → transitive clusters."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayssj.cluster import connected_components
+    from rayssj.extract import extract_stage
+    from rayssj.joins import jaccard_join
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        urls = [f"https://example.com/doc/{i}" for i in ids]
+        html = [("<html><head><title>doc</title></head><body><p>"
+                 + (t or "") + "</p></body></html>").encode() for t in texts]
+        # hold out 20%: those rows' text must be re-derived from html
+        text = [None if i % 5 == 0 else ("doc\n" + (t or "")) for i, t in zip(ids, texts)]
+        ts = pa.array(np.asarray(ids, dtype="datetime64[us]"))
+        return pa.table({"url": pa.array(urls), "warc_ts": ts,
+                         "html": pa.array(html, type=pa.binary()),
+                         "text": pa.array(text, type=pa.string()),
+                         "lang": batch["lang"]})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    extracted = extract_stage(pages)  # drops html, fills text byte-identically
+    pairs = jaccard_join(extracted, None, "url", "url", "text", "text",
+                         WhitespaceTokenizer(), 0.8, self_join=True)
+    return connected_components(pairs, "l_url", "r_url")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayssj.joins import (
+        cosine_join,
+        dice_join,
+        jaccard_join,
+        overlap_coefficient_join,
+        overlap_join,
+    )
+    from rayssj.tokenizers import QgramTokenizer
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "jaccard_ws": _set_join(jaccard_join, 0.5),
+        "cosine_ws": _set_join(cosine_join, 0.7),
+        "dice_ws": _set_join(dice_join, 0.6),
+        "overlap_ws": _set_join(overlap_join, 25),
+        "overlap_coeff_ws": _set_join(overlap_coefficient_join, 0.9),
+        "jaccard_q3": _set_join(jaccard_join, 0.6, QgramTokenizer(3, return_set=True)),
+        "edit_distance_q2": _q_edit_distance,
+        "overlap_filter": _q_overlap_filter,
+        "prefix_filter": _q_prefix_filter,
+        "size_filter": _q_size_filter,
+        "apply_matcher": _q_apply_matcher,
+        "profile_documents": _q_profile,
+        "exact_dedup": _q_exact_dedup,
+        "token_counts": _q_token_counts,
+        "quality_stats": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_pairs": _q_embedding_pairs,
+        "ann_topk": _q_ann_topk,
+        "cluster_components": _q_cluster,
+    }
+
+
+_DT = """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) n FROM dt GROUP BY doc_id),
+ov AS (SELECT a.doc_id la, b.doc_id rb, count(*) o
+       FROM dt a JOIN dt b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT la, rb, o, sa.n n1, sb.n n2
+          FROM ov JOIN sizes sa ON sa.doc_id = la JOIN sizes sb ON sb.doc_id = rb)
+"""
+
+
+def _set_sim_sql(expr: str, cond: str) -> str:
+    return (_DT + f"SELECT la AS l_doc_id, rb AS r_doc_id, {expr} AS _sim_score "
+                  f"FROM pairs WHERE {cond}")
+
+
+_QG = """WITH idx AS (
+  SELECT unnest(range(1, (SELECT max(length(text)) + 3 FROM documents))) AS i),
+g AS (
+  SELECT doc_id, substr('##' || text || '$$', i::INT, 3) AS tok
+  FROM documents, idx WHERE i <= length(text) + 2),
+dt AS (SELECT DISTINCT doc_id, tok FROM g),
+sizes AS (SELECT doc_id, count(*) n FROM dt GROUP BY doc_id),
+ov AS (SELECT a.doc_id la, b.doc_id rb, count(*) o
+       FROM dt a JOIN dt b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT la, rb, o, sa.n n1, sb.n n2
+          FROM ov JOIN sizes sa ON sa.doc_id = la JOIN sizes sb ON sb.doc_id = rb)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "jaccard_ws": _set_sim_sql("o * 1.0 / (n1 + n2 - o)",
+                                   "o * 1.0 / (n1 + n2 - o) >= 0.5"),
+        "cosine_ws": _set_sim_sql("o / sqrt(n1 * 1.0 * n2)",
+                                  "o / sqrt(n1 * 1.0 * n2) >= 0.7"),
+        "dice_ws": _set_sim_sql("2.0 * o / (n1 + n2)",
+                                "2.0 * o / (n1 + n2) >= 0.6"),
+        "overlap_ws": _set_sim_sql("o * 1.0", "o >= 25"),
+        "overlap_coeff_ws": _set_sim_sql("o * 1.0 / least(n1, n2)",
+                                         "o * 1.0 / least(n1, n2) >= 0.9"),
+        "jaccard_q3": _QG + ("SELECT la AS l_doc_id, rb AS r_doc_id, "
+                             "o * 1.0 / (n1 + n2 - o) AS _sim_score FROM pairs "
+                             "WHERE o * 1.0 / (n1 + n2 - o) >= 0.6"),
+        "edit_distance_q2": (
+            "SELECT a.doc_id AS l_doc_id, b.doc_id AS r_doc_id, "
+            "CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS DOUBLE) AS _sim_score "
+            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 3"),
+        "overlap_filter": _DT + ("SELECT la AS l_doc_id, rb AS r_doc_id "
+                                 "FROM pairs WHERE o >= 25"),
+        "prefix_filter": """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+df AS (SELECT tok, count(*) c FROM dt GROUP BY tok),
+rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) rnk FROM df),
+pos AS (SELECT d.doc_id, d.tok,
+               row_number() OVER (PARTITION BY d.doc_id ORDER BY r.rnk) p,
+               count(*) OVER (PARTITION BY d.doc_id) n
+        FROM dt d JOIN rk r USING (tok)),
+pref AS (SELECT doc_id, tok FROM pos WHERE p <= n - ceil(0.9 * n - 1e-9) + 1)
+SELECT DISTINCT a.doc_id AS l_doc_id, b.doc_id AS r_doc_id
+FROM pref a JOIN pref b USING (tok) WHERE a.doc_id < b.doc_id""",
+        "size_filter": """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) n FROM dt GROUP BY doc_id)
+SELECT a.doc_id AS l_doc_id, b.doc_id AS r_doc_id
+FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+WHERE (b.n BETWEEN ceil(0.9 * a.n - 1e-9) AND floor(a.n / 0.9 + 1e-9))
+   OR (a.n BETWEEN ceil(0.9 * b.n - 1e-9) AND floor(b.n / 0.9 + 1e-9))""",
+        "apply_matcher": _set_sim_sql("o * 1.0 / (n1 + n2 - o)",
+                                      "o >= 25 AND o * 1.0 / (n1 + n2 - o) >= 0.8"),
+        "profile_documents": """SELECT 'doc_id' AS attr, count(DISTINCT doc_id) AS n_unique,
+       count(*) FILTER (WHERE doc_id IS NULL) AS n_missing FROM documents
+UNION ALL SELECT 'text', count(DISTINCT text),
+       count(*) FILTER (WHERE text IS NULL) FROM documents
+UNION ALL SELECT 'lang', count(DISTINCT lang),
+       count(*) FILTER (WHERE lang IS NULL) FROM documents""",
+        "exact_dedup": """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text""",
+        "embedding_pairs": """SELECT a.vec_id AS l_vec_id, b.vec_id AS r_vec_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        "token_counts": """SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
+FROM documents""",
+        "quality_stats": """SELECT doc_id, length(text) AS n_chars,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+            THEN (length(text) - greatest(len(regexp_extract_all(text, '\\S+')) - 1, 0))
+                 * 1.0 / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+            ELSE 0.0 END AS mean_token_len
+FROM documents""",
+    }

@@ -282,7 +282,7 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
         dist = np.zeros(len(x), dtype=np.int64)
         v = x.copy()
         for _ in range(8):
-            dist += np.unpackbits((v & np.uint64(0xFF)).astype(np.uint8)).reshape(-1, 8).sum(1)
+            dist += np.unpackbits((v & np.uint64(0xFF)).astype(np.uint8)).reshape(-1, 8).sum(1).astype(np.int64)
             v >>= np.uint64(8)
         keep = dist <= max_hamming
         iu, ju, dist = iu[keep], ju[keep], dist[keep]

@@ -176,16 +176,28 @@ class _EditDistExploder:
         strs = batch["s"].combine_chunks() if isinstance(batch["s"], pa.ChunkedArray) else batch["s"]
         slens = pc.utf8_length(strs).to_numpy(zero_copy_only=False).astype(np.int64)
         keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
-
-        # distinct prefix ranks per row (prefix slice of the sorted bag)
-        row_ids_all = np.repeat(np.arange(n, dtype=np.int64), pl)
-        if len(row_ids_all) == 0:
+        if n == 0 or int(pl.sum()) == 0:
             return _empty_ed_exploded(keys.type)
+
+        # distinct full-gram set per row (dedup the sorted bag)
+        all_rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        dup = np.zeros(len(rv), dtype=bool)
+        dup[1:] = (all_rows[1:] == all_rows[:-1]) & (rv[1:] == rv[:-1])
+        g_rows = all_rows[~dup]
+        g_vals = rv[~dup]
+        g_counts = np.bincount(g_rows, minlength=n)
+        g_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(g_counts, out=g_off[1:])
+        grams_list = pa.ListArray.from_arrays(
+            pa.array(g_off, type=pa.int64()), pa.array(g_vals, type=pa.int64()),
+        ).cast(pa.large_list(pa.int64()))
+
+        # distinct PREFIX ranks per row (prefix slice of the sorted bag)
         first = np.zeros(n, dtype=np.int64)
         np.cumsum(pl[:-1], out=first[1:])
+        row_ids_all = np.repeat(np.arange(n, dtype=np.int64), pl)
         within = np.arange(len(row_ids_all), dtype=np.int64) - first[row_ids_all]
         pref_vals = rv[offsets[row_ids_all] + within]
-        # drop duplicate (row, rank): sorted within row, so dup iff same as prev
         keep = np.ones(len(pref_vals), dtype=bool)
         keep[1:] = (row_ids_all[1:] != row_ids_all[:-1]) | (pref_vals[1:] != pref_vals[:-1])
         row_ids = row_ids_all[keep]
@@ -202,7 +214,9 @@ class _EditDistExploder:
             "side": pa.array(np.full(len(row_ids), self.side, dtype=np.int8)),
             "key": keys.take(take_idx),
             "slen": pa.array(slens[row_ids].astype(np.int32)),
+            "dsize": pa.array(g_counts[row_ids].astype(np.int32)),
             "ranks": pref_list.take(take_idx),
+            "grams": grams_list.take(take_idx),
             "s": strs.take(take_idx),
             "bucket": pa.array(ptok % self.num_buckets),
         })
@@ -214,7 +228,9 @@ def _empty_ed_exploded(key_type):
         "side": pa.array([], type=pa.int8()),
         "key": pa.array([], type=key_type),
         "slen": pa.array([], type=pa.int32()),
+        "dsize": pa.array([], type=pa.int32()),
         "ranks": pa.array([], type=pa.large_list(pa.int64())),
+        "grams": pa.array([], type=pa.large_list(pa.int64())),
         "s": pa.array([], type=pa.string()),
         "bucket": pa.array([], type=pa.int64()),
     })
@@ -481,7 +497,7 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
             fn_constructor_kwargs=dict(order_ref=order_ref, side=1, **expl_kwargs))
         exploded = l_expl.union(r_expl)
 
-    kernel = make_edit_distance_bucket_kernel(threshold, comp_op, self_join=self_join)
+    kernel = make_edit_distance_bucket_kernel(threshold, comp_op, self_join=self_join, qval=tk.qval)
     pairs = exploded.groupby("bucket").map_groups(kernel, batch_format="pyarrow")
 
     if allow_missing:

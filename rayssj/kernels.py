@@ -108,15 +108,54 @@ def _emit_keys(keys: pa.Array, li, ri, normalize: bool):
     return lk, rk
 
 
+_MATRIX_GROUP_MIN = 8     # below this, per-pair intersect beats matmul setup
+_PAIR_CHUNK_ROWS = 1024   # l-rows per matmul chunk (bounds pair-matrix memory)
+
+
+def _member_matrices(rv, ro, mem, pl, build_prefix=True):
+    """Local-vocab membership matrices for group members ``mem``.
+
+    Returns (vocab, M, P): M[i, v] = 1 iff vocab[v] in member i's token set;
+    P restricted to each member's prefix. float32 so the pairwise overlap
+    matrix is one BLAS matmul.
+    """
+    lengths = (ro[mem + 1] - ro[mem]).astype(np.int64)
+    total = int(lengths.sum())
+    flat_idx = np.repeat(ro[mem], lengths) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(lengths[:-1]))), lengths))
+    flat_vals = rv[flat_idx]
+    vocab = np.unique(flat_vals)
+    col = np.searchsorted(vocab, flat_vals)
+    rows = np.repeat(np.arange(len(mem), dtype=np.int64), lengths)
+    M = np.zeros((len(mem), len(vocab)), dtype=np.float32)
+    M[rows, col] = 1.0
+    P = None
+    if build_prefix:
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.concatenate(([0], np.cumsum(lengths[:-1]))), lengths))
+        in_pref = within < np.repeat(pl[mem], lengths)
+        P = np.zeros_like(M)
+        P[rows[in_pref], col[in_pref]] = 1.0
+    return vocab, M, P
+
+
 def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
-                               comp_op: str, self_join: bool,
-                               out_count_only: bool = False):
+                               comp_op: str, self_join: bool):
     """Kernel factory for one groupby("bucket") stage of a set-sim join.
 
     Input group schema: ptok:int64, pos:int32, side:int8, key:any, size:int32,
     pl:int32, ranks:list<int64> (sorted). Output: l_key, r_key, _sim_score.
+
+    Large shared-token groups are verified with chunked float32 matmuls over a
+    local-vocab membership matrix (overlap = M_l @ M_r.T; cross-bucket dedup =
+    zero shared prefix tokens ranked below the group token); tiny groups use a
+    per-pair sorted-intersect fallback. This replaces the reference's
+    per-probe index walk [ref: join/set_sim_join_py.py:~60-200 †U] with
+    BLAS-vectorized batch verification.
     """
     comp_fn = COMP_OP_MAP[comp_op]
+    is_oc = sim_measure_type == "OVERLAP_COEFFICIENT"
 
     def kernel(tbl: pa.Table) -> pa.Table:
         keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
@@ -133,39 +172,121 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
         pos = _np(tbl, "pos")
         rv, ro = _list_col_parts(tbl, "ranks")
 
-        li, ri, gtok = _group_pairs(ptok, side, self_join)
-        if len(li) == 0:
+        order = np.argsort(ptok, kind="stable")
+        pt_s = ptok[order]
+        bounds = np.nonzero(np.diff(pt_s))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pt_s)]))
+
+        out_l, out_r, out_s = [], [], []
+
+        def emit(li, ri, sim):
+            out_l.append(np.asarray(li))
+            out_r.append(np.asarray(ri))
+            out_s.append(np.asarray(sim, dtype=np.float64))
+
+        def _small_group(gl, gr, w, li_is_ri):
+            if li_is_ri:
+                n = len(gl)
+                iu, ju = np.triu_indices(n, k=1)
+                li, ri = gl[iu], gl[ju]
+            else:
+                li = np.repeat(gl, len(gr))
+                ri = np.tile(gr, len(gl))
+            n1, n2 = size[li], size[ri]
+            ot = get_overlap_threshold(n1, n2, sim_measure_type, threshold)
+            feasible = np.minimum(n1, n2) >= ot
+            ub = 1 + np.minimum(n1 - pos[li] - 1, n2 - pos[ri] - 1)
+            feasible &= ub >= ot
+            li, ri = li[feasible], ri[feasible]
+            if len(li) == 0:
+                return
+            if is_oc:
+                small_is_l = size[li] <= size[ri]
+                pl_l = np.where(small_is_l, pl[li], size[li])
+                pl_r = np.where(small_is_l, size[ri], pl[ri])
+            else:
+                pl_l, pl_r = pl[li], pl[ri]
+            first, overlap = _first_shared_prefix(rv, ro, li, ri, pl_l, pl_r)
+            keep = first == w
+            li, ri, overlap = li[keep], ri[keep], overlap[keep]
+            if len(li) == 0:
+                return
+            sim = compute_sim(sim_measure_type, overlap, size[li], size[ri])
+            keep = comp_fn(sim, threshold)
+            if keep.any():
+                emit(li[keep], ri[keep], sim[keep])
+
+        def _big_group(g, l_loc, r_loc, w):
+            # membership matrices over the group's local vocabulary
+            vocab, M, P = _member_matrices(rv, ro, g, pl)
+            w_idx = int(np.searchsorted(vocab, w))
+            gl, gr = g[l_loc], g[r_loc]
+            Mr = M[r_loc]
+            Pb_r = P[r_loc, :w_idx]
+            Mb_r = M[r_loc, :w_idx]
+            sz_l_all, sz_r = size[gl], size[gr]
+            pos_l_all, pos_r = pos[gl], pos[gr]
+            pl_l_all, pl_r = pl[gl], pl[gr]
+            for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
+                i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                lc = l_loc[i0:i1]
+                F = M[lc] @ Mr.T  # exact pairwise overlap counts
+                n1 = sz_l_all[i0:i1][:, None]
+                n2 = sz_r[None, :]
+                ot = get_overlap_threshold(n1, n2, sim_measure_type, threshold)
+                mask = np.minimum(n1, n2) >= ot
+                ub = 1 + np.minimum(n1 - pos_l_all[i0:i1][:, None] - 1,
+                                    n2 - pos_r[None, :] - 1)
+                mask &= ub >= ot
+                if self_join:
+                    # upper triangle in GROUP-member coordinates (gl == gr == g)
+                    mask &= (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
+                # cross-bucket dedup: no shared prefix token ranked below w
+                if is_oc:
+                    # prefix(small) x full(large): two asymmetric matmuls
+                    S_pf = P[lc, :w_idx] @ Mb_r.T   # l-prefix · r-full
+                    S_fp = M[lc, :w_idx] @ Pb_r.T   # l-full · r-prefix
+                    l_small = n1 <= n2
+                    before = np.where(l_small, S_pf, S_fp)
+                    mask &= before == 0
+                    # w itself must lie in the smaller side's true prefix
+                    w_in_pref_l = (P[lc, w_idx] > 0)[:, None]
+                    w_in_pref_r = (P[r_loc, w_idx] > 0)[None, :]
+                    mask &= np.where(l_small, w_in_pref_l, w_in_pref_r)
+                else:
+                    before = P[lc, :w_idx] @ Pb_r.T
+                    mask &= before == 0
+                sim = compute_sim(sim_measure_type, F, n1, n2)
+                mask &= comp_fn(sim, threshold)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    emit(gl[i0:i1][ii], gr[jj], sim[ii, jj])
+
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = order[s:e]
+            w = pt_s[s]
+            if self_join:
+                gl = gr = g
+                l_loc = r_loc = np.arange(len(g), dtype=np.int64)
+            else:
+                l_loc = np.nonzero(side[g] == 0)[0]
+                r_loc = np.nonzero(side[g] == 1)[0]
+                gl, gr = g[l_loc], g[r_loc]
+                if len(gl) == 0 or len(gr) == 0:
+                    continue
+            if len(g) < _MATRIX_GROUP_MIN:
+                _small_group(gl, gr, w, li_is_ri=self_join)
+            else:
+                _big_group(g, l_loc, r_loc, w)
+
+        if not out_l:
             return empty
-        n1, n2 = size[li], size[ri]
-        ot = get_overlap_threshold(n1, n2, sim_measure_type, threshold)
-        feasible = np.minimum(n1, n2) >= ot
-        # PPJoin positional bound: overlap so far (1) + tokens after the probe
-        # position in each ordered list [ref: filter/position_filter.py:~80 †U]
-        ub = 1 + np.minimum(n1 - pos[li] - 1, n2 - pos[ri] - 1)
-        feasible &= ub >= ot
-        if self_join:
-            feasible &= li != ri
-        li, ri, gtok, ot = li[feasible], ri[feasible], gtok[feasible], ot[feasible]
-        if len(li) == 0:
-            return empty
-        if sim_measure_type == "OVERLAP_COEFFICIENT":
-            # true-prefix rule applies only to the smaller side; the larger
-            # side's whole token set participates (see _SetSimExploder note)
-            small_is_l = size[li] <= size[ri]
-            pl_l = np.where(small_is_l, pl[li], size[li])
-            pl_r = np.where(small_is_l, size[ri], pl[ri])
-        else:
-            pl_l, pl_r = pl[li], pl[ri]
-        first, overlap = _first_shared_prefix(rv, ro, li, ri, pl_l, pl_r)
-        keep = first == gtok
-        li, ri, overlap = li[keep], ri[keep], overlap[keep]
-        if len(li) == 0:
-            return empty
-        sim = compute_sim(sim_measure_type, overlap, size[li], size[ri])
-        keep = comp_fn(sim, threshold)
-        li, ri, sim = li[keep], ri[keep], sim[keep]
-        if len(li) == 0:
-            return empty
+        li = np.concatenate(out_l)
+        ri = np.concatenate(out_r)
+        sim = np.concatenate(out_s)
         lk, rk = _emit_keys(keys, li, ri, normalize=self_join)
         return pa.table({"l_key": lk, "r_key": rk,
                          "_sim_score": pa.array(sim.astype(np.float64))})
@@ -174,15 +295,23 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
 
 
 def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
-                                     self_join: bool):
+                                     self_join: bool, qval: int = 2):
     """Kernel for one bucket of the edit-distance join.
 
     Input group schema: ptok:int64, side:int8, key:any, slen:int32,
-    ranks:list<int64> (distinct sorted PREFIX ranks), s:string.
-    Verification = vectorized Levenshtein across all candidate pairs at once.
+    dsize:int32 (distinct gram count), ranks:list<int64> (distinct sorted
+    PREFIX ranks), grams:list<int64> (distinct sorted FULL gram set), s:string.
+
+    Candidates pass (1) length filter |len_l - len_r| <= t, (2) q-gram count
+    filter: distinct shared grams >= max(d_l, d_r) - q*t (each edit disturbs at
+    most q gram types — standard count filtering), (3) emit-at-first-shared-
+    prefix dedup — all vectorized via group-local membership matmuls — before
+    the vectorized Levenshtein verification.
     """
     comp_fn = COMP_OP_MAP[comp_op]
-    t = int(threshold) if float(threshold).is_integer() else float(threshold)
+    t = float(threshold)
+    max_d = int(np.ceil(t))
+    qt = int(qval * t)
 
     def kernel(tbl: pa.Table) -> pa.Table:
         keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
@@ -195,29 +324,99 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
         ptok = _np(tbl, "ptok")
         side = _np(tbl, "side", np.int8)
         slen = _np(tbl, "slen")
-        rv, ro = _list_col_parts(tbl, "ranks")
-
-        li, ri, gtok = _group_pairs(ptok, side, self_join)
-        if len(li) == 0:
-            return empty
-        feasible = np.abs(slen[li] - slen[ri]) <= float(threshold)
-        if self_join:
-            feasible &= li != ri
-        li, ri, gtok = li[feasible], ri[feasible], gtok[feasible]
-        if len(li) == 0:
-            return empty
-        # dedup: prefix arrays here are whole distinct-prefix rank sets
-        pl_l = (ro[li + 1] - ro[li]).astype(np.int64)
-        pl_r = (ro[ri + 1] - ro[ri]).astype(np.int64)
-        first, _ = _first_shared_prefix(rv, ro, li, ri, pl_l, pl_r)
-        keep = first == gtok
-        li, ri = li[keep], ri[keep]
-        if len(li) == 0:
-            return empty
+        dsize = _np(tbl, "dsize")
+        pv, po = _list_col_parts(tbl, "ranks")    # prefix sets
+        gv, go = _list_col_parts(tbl, "grams")    # full distinct sets
         strs = tbl["s"].combine_chunks() if isinstance(tbl["s"], pa.ChunkedArray) else tbl["s"]
+
+        order = np.argsort(ptok, kind="stable")
+        pt_s = ptok[order]
+        bounds = np.nonzero(np.diff(pt_s))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pt_s)]))
+
+        cand_l, cand_r = [], []
+
+        def _small(gl, gr, w):
+            if self_join:
+                n = len(gl)
+                iu, ju = np.triu_indices(n, k=1)
+                li, ri = gl[iu], gl[ju]
+            else:
+                li = np.repeat(gl, len(gr))
+                ri = np.tile(gr, len(gl))
+            m = np.abs(slen[li] - slen[ri]) <= t
+            if self_join:
+                m &= li != ri
+            li, ri = li[m], ri[m]
+            for k in range(len(li)):
+                a, b = li[k], ri[k]
+                shared_pref = np.intersect1d(pv[po[a]:po[a + 1]], pv[po[b]:po[b + 1]],
+                                             assume_unique=True)
+                if len(shared_pref) == 0 or shared_pref[0] != w:
+                    continue
+                ov = len(np.intersect1d(gv[go[a]:go[a + 1]], gv[go[b]:go[b + 1]],
+                                        assume_unique=True))
+                if ov < max(dsize[a], dsize[b]) - qt:
+                    continue
+                cand_l.append(np.array([a]))
+                cand_r.append(np.array([b]))
+
+        def _big(g, l_loc, r_loc, w):
+            # membership matrices over local prefix / full-gram vocabularies
+            pvocab, P, _ = _member_matrices(pv, po, g, None, build_prefix=False)
+            gvocab, M, _ = _member_matrices(gv, go, g, None, build_prefix=False)
+            w_idx = int(np.searchsorted(pvocab, w))
+            gl, gr = g[l_loc], g[r_loc]
+            Pb = P[:, :w_idx]
+            for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
+                i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                lc = l_loc[i0:i1]
+                L1 = slen[gl[i0:i1]][:, None]
+                L2 = slen[gr][None, :]
+                mask = np.abs(L1 - L2) <= t
+                if self_join:
+                    mask &= (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
+                if not mask.any():
+                    continue
+                before = Pb[lc] @ Pb[r_loc].T
+                mask &= before == 0
+                if not mask.any():
+                    continue
+                F = M[lc] @ M[r_loc].T
+                d1 = dsize[gl[i0:i1]][:, None]
+                d2 = dsize[gr][None, :]
+                mask &= F >= np.maximum(d1, d2) - qt
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    cand_l.append(gl[i0:i1][ii])
+                    cand_r.append(gr[jj])
+
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = order[s:e]
+            w = pt_s[s]
+            if self_join:
+                gl = gr = g
+                l_loc = r_loc = np.arange(len(g), dtype=np.int64)
+            else:
+                l_loc = np.nonzero(side[g] == 0)[0]
+                r_loc = np.nonzero(side[g] == 1)[0]
+                gl, gr = g[l_loc], g[r_loc]
+                if len(gl) == 0 or len(gr) == 0:
+                    continue
+            if len(g) < _MATRIX_GROUP_MIN:
+                _small(gl, gr, w)
+            else:
+                _big(g, l_loc, r_loc, w)
+
+        if not cand_l:
+            return empty
+        li = np.concatenate(cand_l)
+        ri = np.concatenate(cand_r)
         sl = strs.take(pa.array(li)).to_pylist()
         sr = strs.take(pa.array(ri)).to_pylist()
-        max_d = int(np.ceil(float(threshold)))
         dist = levenshtein_pairs_capped(sl, sr, max_d)
         keep = comp_fn(dist, threshold) & (dist <= max_d)
         li, ri, dist = li[keep], ri[keep], dist[keep]

@@ -100,7 +100,7 @@ def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     mean_tok_len = np.where(ntk > 0, (nch - np.maximum(ntk - 1, 0)) / np.maximum(ntk, 1), 0.0)
     return (batch.append_column("n_chars", n_chars.cast(pa.int64()))
                  .append_column("n_tokens", n_tokens.cast(pa.int64()))
-                 .append_column("mean_token_len", pa.array(np.round(mean_tok_len, 6)))
+                 .append_column("mean_token_len", pa.array(mean_tok_len))
                  .append_column("punct_ratio", pa.array(np.round(punct, 6)))
                  .append_column("digit_ratio", pa.array(np.round(digit, 6)))
                  .append_column("upper_ratio", pa.array(np.round(upper, 6)))
