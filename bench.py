@@ -51,6 +51,13 @@ def run_bench() -> dict:
         return rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
+    # BASELINE.md headline blocking/scoring config: jaccard, q-gram q=3, t=0.8
+    t0 = time.time()
+    p = jaccard_join(docs(), None, "doc_id", "doc_id", "text", "text",
+                     QgramTokenizer(3, return_set=True), 0.8, self_join=True)
+    pairs["jaccard_q3_08"] = p.count()
+    timings["jaccard_q3_08"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     p = jaccard_join(docs(), None, "doc_id", "doc_id", "text", "text",
                      WhitespaceTokenizer(), 0.8, self_join=True)
@@ -90,24 +97,94 @@ def run_bench() -> dict:
     return out
 
 
-def run_at(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-    res = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                         capture_output=True, text=True, check=True,
+_SCALE_DIR = "/tmp/rayssj_scaling"
+_SCALE_REPLICAS = 4
+
+
+def _build_scaling_input() -> str:
+    """Deterministic 4x replication of sf0.1 documents (doc_ids remapped) —
+    the SAME enlarged input is used at both parallelism levels. sf0.1 alone is
+    ~0.1 MB/core at 32 CPUs; per-core work that thin measures Ray's fixed
+    overheads, not throughput scaling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_SCALE_DIR, exist_ok=True)
+    out = os.path.join(_SCALE_DIR, "documents.parquet")
+    if not os.path.exists(out):
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        parts = []
+        for i in range(_SCALE_REPLICAS):
+            ids = pa.array([v + i * 10_000_000 for v in t["doc_id"].to_pylist()],
+                           type=pa.int64())
+            parts.append(pa.table({"doc_id": ids, "text": t["text"]}))
+        pq.write_table(pa.concat_tables(parts), out)
+    return out
+
+
+def run_scaling_level() -> dict:
+    """One fresh-process measurement: warm-up join (untimed), then the
+    headline jaccard q-gram join on the scaling input."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+
+    from rayssj.joins import jaccard_join
+    from rayssj.tokenizers import QgramTokenizer
+
+    path = os.environ["RAYSSJ_SCALING_INPUT"]
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    docs.count()  # page-cache warm
+    # worker/actor warm-up (untimed): tiny high-threshold join
+    jaccard_join(docs, None, "doc_id", "doc_id", "text", "text",
+                 QgramTokenizer(3, return_set=True), 0.95, self_join=True).count()
+    t0 = time.time()
+    n = jaccard_join(docs, None, "doc_id", "doc_id", "text", "text",
+                     QgramTokenizer(3, return_set=True), 0.5, self_join=True).count()
+    sec = time.time() - t0
+    out = {"sec": round(sec, 3), "pairs": n, "num_cpus": num_cpus,
+           "pairs_per_sec": round(n / sec, 1)}
+    ray.shutdown()
+    return out
+
+
+def run_at(ncpu: int, extra_env=None, arg=None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
+    cmd = [sys.executable, os.path.abspath(__file__)] + ([arg] if arg else [])
+    res = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
 def main():
+    if "--scaling-level" in sys.argv:
+        print(json.dumps(run_scaling_level()))
+        return
     if "--scaling" in sys.argv:
-        lo, hi = run_at(8), run_at(32)
-        # pairs-scored/sec at each level from the headline jaccard join
-        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        path = _build_scaling_input()
+        env = {"RAYSSJ_SCALING_INPUT": path}
+        lo = run_at(8, env, "--scaling-level")
+        hi = run_at(32, env, "--scaling-level")
+        eff = (lo["sec"] / hi["sec"]) / (32 / 8)
         print(json.dumps({
-            "sec_8": lo["value"], "sec_32": hi["value"],
-            "queries_8": lo["queries"], "queries_32": hi["queries"],
-            "scaling_efficiency": round(eff, 3),
-            "pairs": hi["pairs"], "sf": hi["sf"]}))
+            "input": f"sf0.1 documents x{_SCALE_REPLICAS} ({_SCALE_REPLICAS * 5000} docs)",
+            "headline": "jaccard self-join, qgram q=3, t=0.5",
+            "sec_8": lo["sec"], "sec_32": hi["sec"],
+            "pairs": hi["pairs"],
+            "pairs_per_sec_8": lo["pairs_per_sec"],
+            "pairs_per_sec_32": hi["pairs_per_sec"],
+            "scaling_efficiency": round(eff, 3)}))
         return
     print(json.dumps(run_bench()))
 

@@ -52,8 +52,9 @@ def stable_hash64(arr: pa.Array) -> pa.Array:
     maxlen = int(lengths.max())
     pows = np.empty(maxlen, dtype=np.uint64)
     pows[0] = np.uint64(1)
-    for k in range(1, maxlen):
-        pows[k] = pows[k - 1] * P
+    with np.errstate(over="ignore"):  # mod-2^64 arithmetic is intended
+        for k in range(1, maxlen):
+            pows[k] = pows[k - 1] * P
     row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])

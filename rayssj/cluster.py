@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rayssj.joins import _as_dataset, _drop_if_present, _rename_ds, join_num_partitions
+from rayssj.joins import _as_dataset, _drop_if_present, _rename_ds, hash_join, join_num_partitions
 
 
 def _min_label_round(edges_ds, labels_ds):
@@ -30,11 +30,9 @@ def _min_label_round(edges_ds, labels_ds):
     # edges carry (a, b); labels carry (node, label)
     la_side = _rename_ds(labels_ds, {"node": "__na", "label": "la"})
     lb_side = _rename_ds(labels_ds, {"node": "__nb", "label": "lb"})
-    e1 = edges_ds.join(la_side, "inner", num_partitions=join_num_partitions(),
-                       on=("a",), right_on=("__na",))
+    e1 = hash_join(edges_ds, la_side, on=("a",), right_on=("__na",))
     e1 = _drop_if_present(e1, ["__na"])
-    e2 = e1.join(lb_side, "inner", num_partitions=join_num_partitions(),
-                 on=("b",), right_on=("__nb",))
+    e2 = hash_join(e1, lb_side, on=("b",), right_on=("__nb",))
     e2 = _drop_if_present(e2, ["__nb"])
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -102,9 +100,8 @@ def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 50,
     for _ in range(max_rounds):
         new_labels = _min_label_round(edges, labels).materialize()
         # fixpoint check: count changed labels via an anti-join-style compare
-        joined = new_labels.join(labels, "inner", num_partitions=join_num_partitions(),
-                                 on=("node",), right_on=("node",),
-                                 right_suffix="_old")
+        old_side = _rename_ds(labels, {"node": "__n_old", "label": "label_old"})
+        joined = hash_join(new_labels, old_side, on=("node",), right_on=("__n_old",))
         changed = joined.map_batches(
             lambda t: pa.table({"c": pa.array(
                 [int((t["label"].to_numpy(zero_copy_only=False)

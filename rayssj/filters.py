@@ -24,6 +24,8 @@ from rayssj import filter_utils as fu
 from rayssj.filter_utils import COMP_OP_MAP
 from rayssj.joins import (
     DEFAULT_NUM_BUCKETS,
+    _bucket_groupby,
+    _pool_size,
     _SetSimExploder,
     _as_dataset,
     _clone_tokenizer,
@@ -92,31 +94,33 @@ class _BaseFilter:
 
         from rayssj.joins import _shape_output
 
-        l_ds = _as_dataset(ltable)
-        r_ds = l_ds if self_join else _as_dataset(rtable)
+        from rayssj.joins import _ensure_parallel
+
+        l_ds = _ensure_parallel(_as_dataset(ltable))
+        r_ds = l_ds if self_join else _ensure_parallel(_as_dataset(rtable))
         tk = _clone_tokenizer(self.tokenizer, return_set=True)
         l_tok = _tokenize_stage(l_ds, l_key_attr, l_filter_attr, tk, keep_string=False)
         r_tok = l_tok if self_join else _tokenize_stage(r_ds, r_key_attr, r_filter_attr, tk, keep_string=False)
         l_clean = _drop_missing(l_tok)
         r_clean = l_clean if self_join else _drop_missing(r_tok)
-        order = build_token_order(l_clean) if self_join else build_token_order(l_clean, r_clean)
+        order = build_token_order(l_tok) if self_join else build_token_order(l_tok, r_tok)
         order_ref = ray.put(order)
         expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
-                           num_buckets=num_buckets)
+                           num_buckets=num_buckets, self_mode=self_join)
+        from rayssj.joins import make_explode_fn
+
         l_expl = l_clean.map_batches(
-            _SetSimExploder, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 8), num_cpus=0.5,
-            fn_constructor_kwargs=dict(order_ref=order_ref, side=0, **expl_kwargs))
+            make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
+            batch_format="pyarrow", zero_copy_batch=True)
         if self_join:
             exploded = l_expl
         else:
             r_expl = r_clean.map_batches(
-                _SetSimExploder, batch_format="pyarrow", zero_copy_batch=True,
-                concurrency=(1, 8), num_cpus=0.5,
-                fn_constructor_kwargs=dict(order_ref=order_ref, side=1, **expl_kwargs))
+                make_explode_fn(_SetSimExploder, order_ref, side=1, **expl_kwargs),
+                batch_format="pyarrow", zero_copy_batch=True)
             exploded = l_expl.union(r_expl)
         kernel = kernel_factory(self_join)
-        pairs = exploded.groupby("bucket").map_groups(kernel, batch_format="pyarrow")
+        pairs = _bucket_groupby(exploded).map_groups(kernel, batch_format="pyarrow")
         if "_sim_score" in pairs.schema().names:
             pairs = pairs.drop_columns(["_sim_score"])
         if allow_missing:
@@ -207,8 +211,10 @@ class SizeFilter(_SimMeasureFilter):
 
         from rayssj.joins import _shape_output
 
-        l_ds = _as_dataset(ltable)
-        r_ds = l_ds if self_join else _as_dataset(rtable)
+        from rayssj.joins import _ensure_parallel
+
+        l_ds = _ensure_parallel(_as_dataset(ltable))
+        r_ds = l_ds if self_join else _ensure_parallel(_as_dataset(rtable))
         tk = _clone_tokenizer(self.tokenizer, return_set=True)
         l_tok = _tokenize_stage(l_ds, l_key_attr, l_filter_attr, tk, keep_string=False)
         r_tok = l_tok if self_join else _tokenize_stage(r_ds, r_key_attr, r_filter_attr, tk, keep_string=False)
@@ -410,8 +416,10 @@ class SuffixFilter(_SimMeasureFilter):
             return True
         ot = fu.get_overlap_threshold(len(lo), len(ro), self.sim_measure_type,
                                       self.threshold, self.tokenizer)
-        # suffixes (tokens after each prefix) must still share >= ot - |shared|
-        need = ot - len(shared)
+        # overlap can involve prefix tokens of EITHER side, so the only safe
+        # suffix-overlap requirement is ot - pl - pr (cross prefix/suffix
+        # matches bounded by the prefix lengths)
+        need = ot - pl - pr
         ls = [rank[t] for t in lo[pl:]]
         rs = [rank[t] for t in ro[pr:]]
         if need <= 0:
@@ -430,13 +438,13 @@ class SuffixFilter(_SimMeasureFilter):
             return abs(len(x) - len(y))
         mid = len(y) // 2
         w = y[mid]
-        o = (hmax - abs(len(x) - len(y))) // 2
-        lo_w = max(0, mid - o - abs(len(x) - len(y)))
-        hi_w = min(len(x), mid + o + 1)
         import bisect
 
-        p = bisect.bisect_left(x, w, lo_w, hi_w)
-        found = p < len(x) and p < hi_w and x[p] == w
+        # exact partition at w's true position: every element of x_l is < w
+        # and of x_r is > w, so cross-side matches are impossible and the
+        # H(x_l,y_l)+H(x_r,y_r)+diff decomposition is a valid lower bound
+        p = bisect.bisect_left(x, w)
+        found = p < len(x) and x[p] == w
         diff = 0 if found else 1
         xl, xr = x[:p], x[p + (1 if found else 0):]
         yl, yr = y[:mid], y[mid + 1:]

@@ -49,6 +49,128 @@ def join_num_partitions() -> int:
     return max(2, min(32, cpus))
 
 
+
+
+
+# Worker-process-local caches: stateless map tasks get actor-style state
+# amortization (the broadcast TokenOrder is fetched+deserialized once per
+# worker PROCESS, not per task) without paying actor-pool spin-up on every
+# execution (measured: 64 fresh actor processes per query at 32 CPUs).
+_ORDER_CACHE: dict = {}
+
+
+def _cached_order(order_ref):
+    key = order_ref.hex() if hasattr(order_ref, "hex") else id(order_ref)
+    if key not in _ORDER_CACHE:
+        _ORDER_CACHE.clear()  # one live ordering per worker is plenty
+        _ORDER_CACHE[key] = ray.get(order_ref) if hasattr(order_ref, "hex") else order_ref
+    return _ORDER_CACHE[key]
+
+
+def make_explode_fn(cls, order_ref, **kw):
+    """Stateless map_batches fn wrapping an exploder; instance cached per
+    worker process keyed by (class, ordering, params)."""
+    params = tuple(sorted(kw.items()))
+
+    def fn(batch):
+        key = (cls.__name__, order_ref.hex() if hasattr(order_ref, "hex") else id(order_ref), params)
+        inst = _ORDER_CACHE.get(key)
+        if inst is None:
+            inst = cls(_cached_order(order_ref), **kw)
+            _ORDER_CACHE[key] = inst
+        return inst(batch)
+
+    return fn
+
+def _pool_size():
+    """Exploder actor-pool bounds: scale with the cluster (a fixed cap of 8
+    actors serializes the explode stage at 32 CPUs and flattens scaling)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(8, cpus * 2))
+
+_MATERIALIZE_TOKENS_MAX_BYTES = 512 * 1024 * 1024
+
+
+def _ensure_parallel(ds):
+    """Small inputs (single parquet file → ONE block) would run every map
+    stage as a single task; split them so tokenize/explode/shuffle-map run
+    wide. Large inputs already arrive as many blocks — leave them alone."""
+    try:
+        nbytes = ds.size_bytes()
+    except Exception:
+        nbytes = None
+    if nbytes is not None and 0 < nbytes < _MATERIALIZE_TOKENS_MAX_BYTES:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        return ds.repartition(cpus * 2)
+    return ds
+
+
+def _maybe_cache(tok_ds, src_ds):
+    """Pin the tokenized dataset in the object store when the SOURCE is small
+    (< 512MB estimate): the ordering pass and the explode pass both consume it,
+    and recomputing tokenization twice costs more than the pin. Large inputs
+    keep streaming (lazy recompute) — never materialize the big side."""
+    try:
+        nbytes = src_ds.size_bytes()
+    except Exception:
+        nbytes = None
+    if nbytes is not None and 0 < nbytes < _MATERIALIZE_TOKENS_MAX_BYTES:
+        return tok_ds.materialize()
+    return tok_ds
+
+
+def _use_hash_shuffle():
+    """Hash-partitioned shuffle for the bucket groupbys: measured 3x faster
+    than the sort-based default on wide exploded payloads (no need to sort
+    list columns just to co-group)."""
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # fractional aggregator reservations: several concurrent shuffles
+        # (join + bucket groupby + cluster rounds) would otherwise stack
+        # full-CPU aggregator actors and starve a small cluster (observed
+        # 16 aggregators deadlocking 4 CPUs)
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+        ctx.join_operator_actor_num_cpus_per_partition_override = 0.05
+        # a bare groupby() under hash shuffle defaults to 64 partitions ->
+        # 64 aggregator actors, which can never all schedule on a small
+        # cluster (observed 44+ pending, pipeline deadlocked); keep shuffle
+        # width proportional to the cluster
+        np_ = join_num_partitions()
+        ctx.default_hash_shuffle_parallelism = np_
+        ctx.max_hash_shuffle_aggregators = np_
+    except Exception:
+        pass
+
+
+def _bucket_groupby(exploded):
+    _use_hash_shuffle()
+    return exploded.groupby("bucket", num_partitions=join_num_partitions())
+
+
+_AGG_REMOTE_ARGS = {"num_cpus": 0.125, "memory": 256 * 1024 * 1024}
+
+
+def hash_join(left, right, on, right_on, join_type="inner"):
+    """All Dataset.join calls go through here: hash shuffle with FRACTIONAL
+    aggregator reservations. Chained joins (candset string fetch, cluster
+    label rounds) otherwise stack enough full-size aggregator actors to
+    starve a small cluster outright (observed: 20 actors pinning all 4 test
+    CPUs, pipeline deadlocked)."""
+    _use_hash_shuffle()
+    return left.join(right, join_type, num_partitions=join_num_partitions(),
+                     on=on, right_on=right_on,
+                     aggregator_ray_remote_args=dict(_AGG_REMOTE_ARGS))
+
 def _as_dataset(table):
     import ray.data as rd
 
@@ -90,23 +212,84 @@ def _drop_missing(tok_ds):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+# hot-token salting grid (SURVEY.md §4 'Skew / hot tokens'): a token whose
+# postings exceed SALT_TARGET records is split into s = ceil(df/SALT_TARGET)
+# sub-chunks per side (s <= SALT_MAX); each pair meets in exactly ONE of the
+# s×s grid cells, so dedup semantics are unchanged while kernel parallelism
+# for the hot token grows s²-fold.
+SALT_TARGET = 1536
+SALT_MAX = 16
+
+
+def _salt_cells(ptok, row_ids, keyhash, counts, side, self_mode):
+    """Expand exploded rows into salting-grid cells.
+
+    Returns (rep, grp, out_side): ``rep`` indexes the original exploded rows
+    (each row replicated s_token times), ``grp`` = ptok*SALT_MAX² + cell id,
+    ``out_side`` the row's role inside its cell.
+    """
+    df = counts[ptok] if len(counts) else np.zeros(len(ptok), dtype=np.int64)
+    s = np.clip((df + SALT_TARGET - 1) // SALT_TARGET, 1, SALT_MAX).astype(np.int64)
+    salt = keyhash[row_ids] % s
+    total = int(s.sum())
+    rep = np.repeat(np.arange(len(ptok), dtype=np.int64), s)
+    first = np.zeros(len(ptok), dtype=np.int64)
+    np.cumsum(s[:-1], out=first[1:])
+    x = np.arange(total, dtype=np.int64) - first[rep]
+    a = salt[rep]
+    if self_mode:
+        ca = np.where(x >= a, a, x)
+        cb = np.where(x >= a, x, a)
+        out_side = (x < a).astype(np.int8)
+    elif side == 0:
+        ca, cb = a, x
+        out_side = np.zeros(total, dtype=np.int8)
+    else:
+        ca, cb = x, a
+        out_side = np.ones(total, dtype=np.int8)
+    grp = ptok[rep] * (SALT_MAX * SALT_MAX) + ca * SALT_MAX + cb
+    return rep, grp, out_side
+
+
+
+def _mix_bucket(grp: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Avalanche grp before the modulo — grp = ptok*SALT_MAX² + cell is
+    structured (low bits carry only the cell id), so a plain ``% NB`` with
+    NB <= SALT_MAX² collapses every token into a handful of buckets."""
+    v = grp.astype(np.uint64)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    return (v % np.uint64(num_buckets)).astype(np.int64)
+
+def _key_hash(keys: pa.Array) -> np.ndarray:
+    from rayssj.checkpoint import stable_hash64
+
+    return stable_hash64(keys).to_numpy(zero_copy_only=False).view(np.uint64) \
+        .astype(np.int64) % np.int64(2**62)
+
+
 class _SetSimExploder:
-    """Actor-pool stage: rank-encode token lists and explode prefix tokens.
+    """Actor-pool stage: rank-encode token lists and explode prefix tokens
+    into salted grid cells.
 
     Holds the broadcast rank index (loaded ONCE per actor in __init__, per the
-    stateful-stage rule); per batch emits one row per (record, prefix token).
+    stateful-stage rule); per batch emits one row per (record, prefix token,
+    grid cell).
     """
 
-    def __init__(self, order_ref, sim_measure_type, threshold, side, num_buckets):
+    def __init__(self, order_ref, sim_measure_type, threshold, side, num_buckets,
+                 self_mode=False):
         self.order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
         self.measure = sim_measure_type
         self.threshold = threshold
         self.side = side
         self.num_buckets = num_buckets
+        self.self_mode = self_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = self.order
-        rv, lengths = encode_ranks(batch[TOKENS_COL], order)
+        rv, lengths = encode_ranks(batch[TOKENS_COL], order.index)
         n = len(lengths)
         sizes = lengths.astype(np.int64)
         pl = fu.get_prefix_length(sizes, self.measure, self.threshold)
@@ -120,38 +303,64 @@ class _SetSimExploder:
         np.cumsum(lengths, out=offsets[1:])
         row_ids = np.repeat(np.arange(n, dtype=np.int64), emit_len)
         total = int(emit_len.sum())
+        keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
         if total == 0:
-            return _empty_exploded(batch["key"].type)
+            return _empty_exploded(keys.type)
         first = np.zeros(n, dtype=np.int64)
         np.cumsum(emit_len[:-1], out=first[1:])
         pos = np.arange(total, dtype=np.int64) - first[row_ids]
         ptok = rv[offsets[row_ids] + pos]
-        ranks_list = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int64()), pa.array(rv, type=pa.int64()),
-        ).cast(pa.large_list(pa.int64()))
-        keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
-        take_idx = pa.array(row_ids, type=pa.int64())
-        return pa.table({
-            "ptok": pa.array(ptok),
-            "pos": pa.array(pos.astype(np.int32)),
-            "side": pa.array(np.full(total, self.side, dtype=np.int8)),
-            "key": keys.take(take_idx),
-            "size": pa.array(sizes[row_ids].astype(np.int32)),
-            "pl": pa.array(pl[row_ids].astype(np.int32)),
-            "ranks": ranks_list.take(take_idx),
-            "bucket": pa.array(ptok % self.num_buckets),
+        ranks_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(rv.astype(np.int32), type=pa.int32()))
+
+        keyhash = _key_hash(keys)
+        rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, order.counts,
+                                         self.side, self.self_mode)
+        bucket = _mix_bucket(grp, self.num_buckets)
+        # LIGHT rows drive pair generation (no rank payload); the rank arrays
+        # travel as HEAVY rows (side = -1) exactly ONCE per (record, bucket) —
+        # instead of once per (record, prefix token, grid cell). On long token
+        # sets this shrinks the shuffle several-fold.
+        rec_of = row_ids[rep]
+        hb = np.unique(np.stack([rec_of, bucket]), axis=1)
+        h_rows, h_bucket = hb[0], hb[1]
+        light = pa.table({
+            "grp": pa.array(grp),
+            "ptok": pa.array(ptok[rep]),
+            "pos": pa.array(pos[rep].astype(np.int32)),
+            "side": pa.array(out_side),
+            "key": keys.take(pa.array(rec_of, type=pa.int64())),
+            "size": pa.array(sizes[rec_of].astype(np.int32)),
+            "pl": pa.array(pl[rec_of].astype(np.int32)),
+            "ranks": pa.nulls(len(rep), type=pa.large_list(pa.int32())),
+            "bucket": pa.array(bucket),
         })
+        heavy_side = -1 if self.self_mode else (-1 - self.side)
+        heavy = pa.table({
+            "grp": pa.array(np.full(len(h_rows), -1, dtype=np.int64)),
+            "ptok": pa.array(np.full(len(h_rows), -1, dtype=np.int64)),
+            "pos": pa.array(np.full(len(h_rows), -1, dtype=np.int32)),
+            "side": pa.array(np.full(len(h_rows), heavy_side, dtype=np.int8)),
+            "key": keys.take(pa.array(h_rows, type=pa.int64())),
+            "size": pa.array(sizes[h_rows].astype(np.int32)),
+            "pl": pa.array(pl[h_rows].astype(np.int32)),
+            "ranks": ranks_list.take(pa.array(h_rows, type=pa.int64())),
+            "bucket": pa.array(h_bucket),
+        })
+        return pa.concat_tables([light, heavy])
 
 
 def _empty_exploded(key_type):
     return pa.table({
+        "grp": pa.array([], type=pa.int64()),
         "ptok": pa.array([], type=pa.int64()),
         "pos": pa.array([], type=pa.int32()),
         "side": pa.array([], type=pa.int8()),
         "key": pa.array([], type=key_type),
         "size": pa.array([], type=pa.int32()),
         "pl": pa.array([], type=pa.int32()),
-        "ranks": pa.array([], type=pa.large_list(pa.int64())),
+        "ranks": pa.array([], type=pa.large_list(pa.int32())),
         "bucket": pa.array([], type=pa.int64()),
     })
 
@@ -159,16 +368,18 @@ def _empty_exploded(key_type):
 class _EditDistExploder:
     """Explode distinct ordered-prefix q-grams for the edit-distance join."""
 
-    def __init__(self, order_ref, qval, threshold, side, num_buckets):
+    def __init__(self, order_ref, qval, threshold, side, num_buckets,
+                 self_mode=False):
         self.order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
         self.qval = qval
         self.threshold = threshold
         self.side = side
         self.num_buckets = num_buckets
+        self.self_mode = self_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = self.order
-        rv, lengths = encode_ranks(batch[TOKENS_COL], order)  # bag, sorted by rank
+        rv, lengths = encode_ranks(batch[TOKENS_COL], order.index)  # bag, sorted by rank
         n = len(lengths)
         pl = np.minimum(int(self.qval * self.threshold + 1), lengths).astype(np.int64)
         offsets = np.zeros(n + 1, dtype=np.int64)
@@ -208,22 +419,30 @@ class _EditDistExploder:
         pref_list = pa.ListArray.from_arrays(
             pa.array(doffsets, type=pa.int64()), pa.array(ptok, type=pa.int64()),
         ).cast(pa.large_list(pa.int64()))
-        take_idx = pa.array(row_ids, type=pa.int64())
+        keyhash = _key_hash(keys)
+        # counts for the ED bag ordering are occurrence counts; salting still
+        # wants record-df — occurrence counts over-estimate df, which only
+        # over-salts (harmless)
+        rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, order.counts,
+                                         self.side, self.self_mode)
+        take_idx = pa.array(row_ids[rep], type=pa.int64())
         return pa.table({
-            "ptok": pa.array(ptok),
-            "side": pa.array(np.full(len(row_ids), self.side, dtype=np.int8)),
+            "grp": pa.array(grp),
+            "ptok": pa.array(ptok[rep]),
+            "side": pa.array(out_side),
             "key": keys.take(take_idx),
-            "slen": pa.array(slens[row_ids].astype(np.int32)),
-            "dsize": pa.array(g_counts[row_ids].astype(np.int32)),
+            "slen": pa.array(slens[row_ids][rep].astype(np.int32)),
+            "dsize": pa.array(g_counts[row_ids][rep].astype(np.int32)),
             "ranks": pref_list.take(take_idx),
             "grams": grams_list.take(take_idx),
             "s": strs.take(take_idx),
-            "bucket": pa.array(ptok % self.num_buckets),
+            "bucket": pa.array(_mix_bucket(grp, self.num_buckets)),
         })
 
 
 def _empty_ed_exploded(key_type):
     return pa.table({
+        "grp": pa.array([], type=pa.int64()),
         "ptok": pa.array([], type=pa.int64()),
         "side": pa.array([], type=pa.int8()),
         "key": pa.array([], type=key_type),
@@ -303,8 +522,7 @@ def _shape_output(pairs_ds, l_ds, r_ds, l_key_attr, r_key_attr,
         renames = {a: prefix + a for a in out_attrs}
         renames[key_attr] = "__join_key"
         side = _rename_ds(side, renames)
-        joined = ds.join(side, "inner", num_partitions=join_num_partitions(),
-                         on=(key_col,), right_on=("__join_key",))
+        joined = hash_join(ds, side, on=(key_col,), right_on=("__join_key",))
         return _drop_if_present(joined, ["__join_key"])
 
     pairs_ds = attach(pairs_ds, l_ds, l_key_attr, l_out_attrs, l_out_prefix, l_key_col)
@@ -325,49 +543,65 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                   l_out_attrs=None, r_out_attrs=None,
                   l_out_prefix="l_", r_out_prefix="r_",
                   out_sim_score=True, n_jobs=1, show_progress=False,
-                  self_join=False, num_buckets=DEFAULT_NUM_BUCKETS):
+                  self_join=False, num_buckets=DEFAULT_NUM_BUCKETS,
+                  token_order=None, bucket_range=None):
+    """``token_order``/``bucket_range`` support partitioned-resumable runs
+    (rayssj.pipelines): pass a precomputed TokenOrder and restrict the kernel
+    stage to buckets in [lo, hi) so each bucket range is an independently
+    restartable output partition."""
     import ray.data as rd
 
-    l_ds = _as_dataset(ltable)
-    r_ds = l_ds if self_join else _as_dataset(rtable)
+    l_ds = _ensure_parallel(_as_dataset(ltable))
+    r_ds = l_ds if self_join else _ensure_parallel(_as_dataset(rtable))
     validate_join_inputs(l_ds, r_ds, l_key_attr, r_key_attr, l_join_attr,
                          r_join_attr, tokenizer, threshold, comp_op,
                          sim_measure_type, l_out_attrs, r_out_attrs)
     tk = _clone_tokenizer(tokenizer, return_set=True)
 
-    l_tok = _tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=False)
-    r_tok = l_tok if self_join else _tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=False)
+    l_tok = _maybe_cache(_tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=False), l_ds)
+    r_tok = l_tok if self_join else _maybe_cache(_tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=False), r_ds)
     l_clean = _drop_missing(l_tok)
     r_clean = l_clean if self_join else _drop_missing(r_tok)
 
-    if self_join:
-        order = build_token_order(l_clean)
+    # ordering over the PRE-drop datasets: null rows add no tokens to the
+    # counts but ARE counted for the allow_missing side path
+    if token_order is not None:
+        order = token_order
+    elif self_join:
+        order = build_token_order(l_tok)
     else:
-        order = build_token_order(l_clean, r_clean)
+        order = build_token_order(l_tok, r_tok)
     order_ref = ray.put(order)
 
     expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
-                       num_buckets=num_buckets)
+                       num_buckets=num_buckets, self_mode=self_join)
     l_expl = l_clean.map_batches(
-        _SetSimExploder, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8), num_cpus=0.5,
-        fn_constructor_kwargs=dict(order_ref=order_ref, side=0, **expl_kwargs))
+        make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
+        batch_format="pyarrow", zero_copy_batch=True)
     if self_join:
         exploded = l_expl
     else:
         r_expl = r_clean.map_batches(
-            _SetSimExploder,
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8), num_cpus=0.5,
-            fn_constructor_kwargs=dict(order_ref=order_ref, side=1, **expl_kwargs))
+            make_explode_fn(_SetSimExploder, order_ref, side=1, **expl_kwargs),
+            batch_format="pyarrow", zero_copy_batch=True)
         exploded = l_expl.union(r_expl)
+
+    if bucket_range is not None:
+        lo, hi = bucket_range
+        exploded = exploded.map_batches(
+            lambda t, lo=lo, hi=hi: t.filter(
+                pc.and_(pc.greater_equal(t["bucket"], lo),
+                        pc.less(t["bucket"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     kernel = make_set_sim_bucket_kernel(sim_measure_type, threshold, comp_op,
                                         self_join=self_join)
-    pairs = exploded.groupby("bucket").map_groups(kernel, batch_format="pyarrow")
+    pairs = _bucket_groupby(exploded).map_groups(kernel, batch_format="pyarrow")
 
     extra = []
     comp_fn = fu.COMP_OP_MAP[comp_op]
-    if allow_empty and comp_fn(1.0, threshold):
+    first_range = bucket_range is None or bucket_range[0] == 0
+    if allow_empty and comp_fn(1.0, threshold) and order.n_empty > 0 and first_range:
         l_empty = _empty_token_keys(l_clean)
         r_empty = l_empty if self_join else _empty_token_keys(r_clean)
         ek_l, ek_r = [], []
@@ -384,7 +618,7 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                     ek_r.append(b)
         if ek_l:
             extra.append(_pairs_table(ek_l, ek_r, [1.0] * len(ek_l)))
-    if allow_missing:
+    if allow_missing and order.n_missing > 0 and first_range:
         extra.extend(_missing_pair_tables(l_clean, l_tok, r_tok, self_join))
     for tbl in extra:
         pairs = pairs.union(rd.from_arrow(tbl))
@@ -468,39 +702,38 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
     """
     import ray.data as rd
 
-    l_ds = _as_dataset(ltable)
-    r_ds = l_ds if self_join else _as_dataset(rtable)
+    l_ds = _ensure_parallel(_as_dataset(ltable))
+    r_ds = l_ds if self_join else _ensure_parallel(_as_dataset(rtable))
     validate_join_inputs(l_ds, r_ds, l_key_attr, r_key_attr, l_join_attr,
                          r_join_attr, tokenizer, threshold, comp_op,
                          fu.EDIT_DISTANCE, l_out_attrs, r_out_attrs)
     tk = _clone_tokenizer(tokenizer, return_set=False)
 
-    l_tok = _tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=True)
-    r_tok = l_tok if self_join else _tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=True)
+    l_tok = _maybe_cache(_tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=True), l_ds)
+    r_tok = l_tok if self_join else _maybe_cache(_tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=True), r_ds)
     l_clean = _drop_missing(l_tok)
     r_clean = l_clean if self_join else _drop_missing(r_tok)
 
-    order = build_token_order(l_clean) if self_join else build_token_order(l_clean, r_clean)
+    order = build_token_order(l_tok) if self_join else build_token_order(l_tok, r_tok)
     order_ref = ray.put(order)
 
-    expl_kwargs = dict(qval=tk.qval, threshold=threshold, num_buckets=num_buckets)
+    expl_kwargs = dict(qval=tk.qval, threshold=threshold, num_buckets=num_buckets,
+                       self_mode=self_join)
     l_expl = l_clean.map_batches(
-        _EditDistExploder, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8), num_cpus=0.5,
-        fn_constructor_kwargs=dict(order_ref=order_ref, side=0, **expl_kwargs))
+        make_explode_fn(_EditDistExploder, order_ref, side=0, **expl_kwargs),
+        batch_format="pyarrow", zero_copy_batch=True)
     if self_join:
         exploded = l_expl
     else:
         r_expl = r_clean.map_batches(
-            _EditDistExploder, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 8), num_cpus=0.5,
-            fn_constructor_kwargs=dict(order_ref=order_ref, side=1, **expl_kwargs))
+            make_explode_fn(_EditDistExploder, order_ref, side=1, **expl_kwargs),
+            batch_format="pyarrow", zero_copy_batch=True)
         exploded = l_expl.union(r_expl)
 
     kernel = make_edit_distance_bucket_kernel(threshold, comp_op, self_join=self_join, qval=tk.qval)
-    pairs = exploded.groupby("bucket").map_groups(kernel, batch_format="pyarrow")
+    pairs = _bucket_groupby(exploded).map_groups(kernel, batch_format="pyarrow")
 
-    if allow_missing:
+    if allow_missing and order.n_missing > 0:
         for tbl in _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
             pairs = pairs.union(rd.from_arrow(tbl))
 

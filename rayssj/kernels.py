@@ -41,55 +41,70 @@ def _np(tbl: pa.Table, name: str, dtype=np.int64):
     return tbl[name].to_numpy(zero_copy_only=False).astype(dtype)
 
 
-def _group_pairs(ptok: np.ndarray, side: np.ndarray, self_join: bool):
-    """Candidate (li, ri, gtok) index arrays for every shared-token group.
+def _iter_cells(grp: np.ndarray, side: np.ndarray, self_join: bool):
+    """Yield (g_indices, l_loc, r_loc, triu) per salted grid cell.
 
-    Python loop is per GROUP (not per pair); inner pair-gen is numpy meshgrid.
+    A pure-self cell (diagonal of the salting grid, or unsalted self-join
+    group) pairs via the upper triangle; any cell containing side-1 rows pairs
+    side0 × side1 cross.
     """
-    order = np.argsort(ptok, kind="stable")
-    pt_s = ptok[order]
-    bounds = np.nonzero(np.diff(pt_s))[0] + 1
+    order = np.argsort(grp, kind="stable")
+    gs = grp[order]
+    bounds = np.nonzero(np.diff(gs))[0] + 1
     starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [len(pt_s)]))
-    li_out, ri_out, tok_out = [], [], []
+    ends = np.concatenate((bounds, [len(gs)]))
     for s, e in zip(starts, ends):
         if e - s < 2:
             continue
         g = order[s:e]
-        if self_join:
-            # combinations i<j within the group
-            n = len(g)
-            iu, ju = np.triu_indices(n, k=1)
+        mixed = (side[g] == 1).any()
+        if self_join and not mixed:
+            loc = np.arange(len(g), dtype=np.int64)
+            yield g, loc, loc, True
+            continue
+        l_loc = np.nonzero(side[g] == 0)[0]
+        r_loc = np.nonzero(side[g] == 1)[0]
+        if len(l_loc) == 0 or len(r_loc) == 0:
+            continue
+        yield g, l_loc, r_loc, False
+
+
+def _group_pairs(grp: np.ndarray, ptok: np.ndarray, side: np.ndarray,
+                 self_join: bool):
+    """Candidate (li, ri, gtok) index arrays across all grid cells.
+
+    Python loop is per CELL (not per pair); inner pair-gen is numpy meshgrid.
+    """
+    li_out, ri_out, tok_out = [], [], []
+    for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
+        if triu:
+            iu, ju = np.triu_indices(len(g), k=1)
             li, ri = g[iu], g[ju]
         else:
-            gl = g[side[g] == 0]
-            gr = g[side[g] == 1]
-            if len(gl) == 0 or len(gr) == 0:
-                continue
+            gl, gr = g[l_loc], g[r_loc]
             li = np.repeat(gl, len(gr))
             ri = np.tile(gr, len(gl))
         li_out.append(li)
         ri_out.append(ri)
-        tok_out.append(np.full(len(li), pt_s[s], dtype=np.int64))
+        tok_out.append(np.full(len(li), ptok[g[0]], dtype=np.int64))
     if not li_out:
         z = np.array([], dtype=np.int64)
         return z, z.copy(), z.copy()
     return np.concatenate(li_out), np.concatenate(ri_out), np.concatenate(tok_out)
 
 
-def _first_shared_prefix(rv, ro, li, ri, pl_l, pl_r):
+def _first_shared_prefix(rv, starts, lens, li, ri, pl_l, pl_r):
     """Per-pair: (first shared prefix token, full overlap count).
 
-    rv/ro: flattened sorted rank values + row offsets; prefix of row i is
-    rv[ro[i] : ro[i]+pl[i]] (pl <= row length).
-    Returns (first_tok int64 array, overlap int64 array).
+    Row i's sorted rank array is rv[starts[i] : starts[i]+lens[i]]; its prefix
+    is the first pl[i] elements. Returns (first_tok, overlap) int64 arrays.
     """
     n = len(li)
     first = np.empty(n, dtype=np.int64)
     overlap = np.empty(n, dtype=np.int64)
     for k in range(n):
-        a = rv[ro[li[k]]:ro[li[k] + 1]]
-        b = rv[ro[ri[k]]:ro[ri[k] + 1]]
+        a = rv[starts[li[k]]:starts[li[k]] + lens[li[k]]]
+        b = rv[starts[ri[k]]:starts[ri[k]] + lens[ri[k]]]
         inter = np.intersect1d(a, b, assume_unique=True)
         overlap[k] = len(inter)
         pa_ = np.searchsorted(a, inter)
@@ -108,35 +123,120 @@ def _emit_keys(keys: pa.Array, li, ri, normalize: bool):
     return lk, rk
 
 
+def _split_heavy_light(tbl: pa.Table):
+    """Split a bucket group into LIGHT pair-gen rows and HEAVY rank-payload
+    rows (side < 0), and map each light row to its heavy rank slice.
+
+    Returns (tbl_light, keys, side, starts, lens, rank_values) or None when
+    the bucket can't produce pairs.
+    """
+    import pandas as pd
+
+    side_all = _np(tbl, "side", np.int8)
+    heavy_mask = side_all < 0
+    if (~heavy_mask).sum() < 2 or heavy_mask.sum() == 0:
+        return None
+    tbl_h = tbl.filter(pa.array(heavy_mask))
+    tbl_l = tbl.filter(pa.array(~heavy_mask))
+    rv, ho = _list_col_parts(tbl_h, "ranks")
+    h_starts, h_lens = ho[:-1], np.diff(ho)
+    h_side = side_all[heavy_mask]
+    hkeys_np = tbl_h["key"].to_numpy(zero_copy_only=False)
+    keys = tbl_l["key"].combine_chunks() if isinstance(tbl_l["key"], pa.ChunkedArray) else tbl_l["key"]
+    lkeys_np = keys.to_numpy(zero_copy_only=False)
+    side = _np(tbl_l, "side", np.int8)
+    if (h_side == -2).any():
+        # two-table join: key spaces may collide across sides — map per side
+        hidx = np.full(len(lkeys_np), -1, dtype=np.int64)
+        for hs, ls in ((-1, 0), (-2, 1)):
+            hsel = np.nonzero(h_side == hs)[0]
+            lsel = side == ls
+            if len(hsel) and lsel.any():
+                pos_in_sub = pd.Index(hkeys_np[hsel]).get_indexer(lkeys_np[lsel])
+                hidx[lsel] = np.where(pos_in_sub >= 0, hsel[pos_in_sub], -1)
+    else:
+        hidx = pd.Index(hkeys_np).get_indexer(lkeys_np)
+    if (hidx < 0).any():  # heavy row missing (shouldn't happen) — bail safe
+        ok = hidx >= 0
+        tbl_l = tbl_l.filter(pa.array(ok))
+        keys = tbl_l["key"].combine_chunks() if isinstance(tbl_l["key"], pa.ChunkedArray) else tbl_l["key"]
+        side = _np(tbl_l, "side", np.int8)
+        hidx = hidx[ok]
+    return tbl_l, keys, side, h_starts[hidx], h_lens[hidx], rv
+
+
 _MATRIX_GROUP_MIN = 8     # below this, per-pair intersect beats matmul setup
 _PAIR_CHUNK_ROWS = 1024   # l-rows per matmul chunk (bounds pair-matrix memory)
+_MATMUL_DENSITY = 0.05    # survivor density above which full-matmul overlap wins
+
+_OT_LUT_CACHE: dict = {}
 
 
-def _member_matrices(rv, ro, mem, pl, build_prefix=True):
+def _ot_lut(sim_measure_type, threshold, n1, n2):
+    """Overlap-threshold matrix via an int32 lookup table over the measure's
+    1-D domain (sum / product / min of sizes) — the exact §2.3 formula values
+    without per-cell float64 ceil work."""
+    if sim_measure_type == "OVERLAP":
+        return max(int(threshold), 1)
+    if sim_measure_type in ("JACCARD", "DICE"):
+        dom = n1 + n2
+        probe = lambda s: (s, np.zeros_like(s))
+    elif sim_measure_type == "OVERLAP_COEFFICIENT":
+        dom = np.minimum(n1, n2)
+        probe = lambda s: (s, s)
+    else:  # COSINE: domain is the size product
+        dom = n1.astype(np.int64) * n2
+        if int(dom.max()) > 8_000_000:
+            return get_overlap_threshold(n1, n2, sim_measure_type, threshold)
+        probe = lambda s: (s, np.ones_like(s))
+    mx = int(dom.max())
+    key = (sim_measure_type, float(threshold))
+    lut = _OT_LUT_CACHE.get(key)
+    if lut is None or len(lut) <= mx:
+        s = np.arange(max(mx + 1, 1024), dtype=np.int64)
+        a, b = probe(s)
+        lut = get_overlap_threshold(a, b, sim_measure_type, threshold).astype(np.int32)
+        _OT_LUT_CACHE[key] = lut
+    return lut[dom]
+
+
+def _gather_flat(rv, starts, lens, mem, limit=None):
+    """Flat (values, row-ids) of members' rank arrays; row ``i``'s array is
+    ``rv[starts[i] : starts[i]+lens[i]]``; ``limit`` caps each member to its
+    first ``limit[member]`` elements (prefix gather)."""
+    lengths = lens[mem].astype(np.int64)
+    if limit is not None:
+        lengths = np.minimum(lengths, limit[mem])
+    total = int(lengths.sum())
+    first = np.concatenate(([0], np.cumsum(lengths[:-1])))
+    flat_idx = np.repeat(starts[mem], lengths) + (
+        np.arange(total, dtype=np.int64) - np.repeat(first, lengths))
+    rows = np.repeat(np.arange(len(mem), dtype=np.int64), lengths)
+    return rv[flat_idx], rows
+
+
+def _membership(vals, rows, n_mem, vocab=None):
+    """(vocab, M): M[i, v] = 1 iff vocab[v] among member i's values; float32
+    so pairwise overlap is one BLAS matmul."""
+    if vocab is None:
+        vocab = np.unique(vals)
+    col = np.searchsorted(vocab, vals)
+    M = np.zeros((n_mem, len(vocab)), dtype=np.float32)
+    M[rows, col] = 1.0
+    return vocab, M
+
+
+def _member_matrices(rv, starts, lens, mem, pl, build_prefix=True):
     """Local-vocab membership matrices for group members ``mem``.
 
-    Returns (vocab, M, P): M[i, v] = 1 iff vocab[v] in member i's token set;
-    P restricted to each member's prefix. float32 so the pairwise overlap
-    matrix is one BLAS matmul.
+    Returns (vocab, M, P): M over full token sets, P restricted to prefixes.
     """
-    lengths = (ro[mem + 1] - ro[mem]).astype(np.int64)
-    total = int(lengths.sum())
-    flat_idx = np.repeat(ro[mem], lengths) + (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(np.concatenate(([0], np.cumsum(lengths[:-1]))), lengths))
-    flat_vals = rv[flat_idx]
-    vocab = np.unique(flat_vals)
-    col = np.searchsorted(vocab, flat_vals)
-    rows = np.repeat(np.arange(len(mem), dtype=np.int64), lengths)
-    M = np.zeros((len(mem), len(vocab)), dtype=np.float32)
-    M[rows, col] = 1.0
+    vals, rows = _gather_flat(rv, starts, lens, mem)
+    vocab, M = _membership(vals, rows, len(mem))
     P = None
     if build_prefix:
-        within = (np.arange(total, dtype=np.int64)
-                  - np.repeat(np.concatenate(([0], np.cumsum(lengths[:-1]))), lengths))
-        in_pref = within < np.repeat(pl[mem], lengths)
-        P = np.zeros_like(M)
-        P[rows[in_pref], col[in_pref]] = 1.0
+        pvals, prows = _gather_flat(rv, starts, lens, mem, limit=pl)
+        _, P = _membership(pvals, prows, len(mem), vocab=vocab)
     return vocab, M, P
 
 
@@ -158,25 +258,23 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
     is_oc = sim_measure_type == "OVERLAP_COEFFICIENT"
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
-        key_type = keys.type
+        all_keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
+        key_type = all_keys.type
         empty = pa.table({"l_key": pa.array([], type=key_type),
                           "r_key": pa.array([], type=key_type),
                           "_sim_score": pa.array([], type=pa.float64())})
         if tbl.num_rows < 2:
             return empty
-        ptok = _np(tbl, "ptok")
-        side = _np(tbl, "side", np.int8)
-        size = _np(tbl, "size")
-        pl = _np(tbl, "pl")
-        pos = _np(tbl, "pos")
-        rv, ro = _list_col_parts(tbl, "ranks")
+        parts = _split_heavy_light(tbl)
+        if parts is None:
+            return empty
+        tbl_l, keys, side, st, ln, rv = parts
 
-        order = np.argsort(ptok, kind="stable")
-        pt_s = ptok[order]
-        bounds = np.nonzero(np.diff(pt_s))[0] + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(pt_s)]))
+        ptok = _np(tbl_l, "ptok")
+        size = _np(tbl_l, "size")
+        pl = _np(tbl_l, "pl")
+        pos = _np(tbl_l, "pos")
+        grp = _np(tbl_l, "grp")
 
         out_l, out_r, out_s = [], [], []
 
@@ -185,8 +283,8 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             out_r.append(np.asarray(ri))
             out_s.append(np.asarray(sim, dtype=np.float64))
 
-        def _small_group(gl, gr, w, li_is_ri):
-            if li_is_ri:
+        def _small_group(gl, gr, w, triu):
+            if triu:
                 n = len(gl)
                 iu, ju = np.triu_indices(n, k=1)
                 li, ri = gl[iu], gl[ju]
@@ -207,7 +305,7 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
                 pl_r = np.where(small_is_l, size[ri], pl[ri])
             else:
                 pl_l, pl_r = pl[li], pl[ri]
-            first, overlap = _first_shared_prefix(rv, ro, li, ri, pl_l, pl_r)
+            first, overlap = _first_shared_prefix(rv, st, ln, li, ri, pl_l, pl_r)
             keep = first == w
             li, ri, overlap = li[keep], ri[keep], overlap[keep]
             if len(li) == 0:
@@ -217,9 +315,17 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             if keep.any():
                 emit(li[keep], ri[keep], sim[keep])
 
-        def _big_group(g, l_loc, r_loc, w):
-            # membership matrices over the group's local vocabulary
-            vocab, M, P = _member_matrices(rv, ro, g, pl)
+        def _pairs_overlap(li, ri):
+            """Per-pair exact overlap on sorted rank slices (sparse survivors)."""
+            ov = np.empty(len(li), dtype=np.int64)
+            for k in range(len(li)):
+                a = rv[st[li[k]]:st[li[k]] + ln[li[k]]]
+                b = rv[st[ri[k]]:st[ri[k]] + ln[ri[k]]]
+                ov[k] = len(np.intersect1d(a, b, assume_unique=True))
+            return ov
+
+        def _big_group_oc(g, l_loc, r_loc, w, triu):
+            vocab, M, P = _member_matrices(rv, st, ln, g, pl)
             w_idx = int(np.searchsorted(vocab, w))
             gl, gr = g[l_loc], g[r_loc]
             Mr = M[r_loc]
@@ -227,7 +333,6 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             Mb_r = M[r_loc, :w_idx]
             sz_l_all, sz_r = size[gl], size[gr]
             pos_l_all, pos_r = pos[gl], pos[gr]
-            pl_l_all, pl_r = pl[gl], pl[gr]
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 lc = l_loc[i0:i1]
@@ -239,48 +344,90 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
                 ub = 1 + np.minimum(n1 - pos_l_all[i0:i1][:, None] - 1,
                                     n2 - pos_r[None, :] - 1)
                 mask &= ub >= ot
-                if self_join:
-                    # upper triangle in GROUP-member coordinates (gl == gr == g)
+                if triu:
                     mask &= (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
-                # cross-bucket dedup: no shared prefix token ranked below w
-                if is_oc:
-                    # prefix(small) x full(large): two asymmetric matmuls
-                    S_pf = P[lc, :w_idx] @ Mb_r.T   # l-prefix · r-full
-                    S_fp = M[lc, :w_idx] @ Pb_r.T   # l-full · r-prefix
-                    l_small = n1 <= n2
-                    before = np.where(l_small, S_pf, S_fp)
-                    mask &= before == 0
-                    # w itself must lie in the smaller side's true prefix
-                    w_in_pref_l = (P[lc, w_idx] > 0)[:, None]
-                    w_in_pref_r = (P[r_loc, w_idx] > 0)[None, :]
-                    mask &= np.where(l_small, w_in_pref_l, w_in_pref_r)
-                else:
-                    before = P[lc, :w_idx] @ Pb_r.T
-                    mask &= before == 0
+                # prefix(small) x full(large): two asymmetric matmuls
+                S_pf = P[lc, :w_idx] @ Mb_r.T   # l-prefix · r-full
+                S_fp = M[lc, :w_idx] @ Pb_r.T   # l-full · r-prefix
+                l_small = n1 <= n2
+                before = np.where(l_small, S_pf, S_fp)
+                mask &= before == 0
+                # w itself must lie in the smaller side's true prefix
+                w_in_pref_l = (P[lc, w_idx] > 0)[:, None]
+                w_in_pref_r = (P[r_loc, w_idx] > 0)[None, :]
+                mask &= np.where(l_small, w_in_pref_l, w_in_pref_r)
                 sim = compute_sim(sim_measure_type, F, n1, n2)
                 mask &= comp_fn(sim, threshold)
                 ii, jj = np.nonzero(mask)
                 if len(ii):
                     emit(gl[i0:i1][ii], gr[jj], sim[ii, jj])
 
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            g = order[s:e]
-            w = pt_s[s]
-            if self_join:
-                gl = gr = g
-                l_loc = r_loc = np.arange(len(g), dtype=np.int64)
-            else:
-                l_loc = np.nonzero(side[g] == 0)[0]
-                r_loc = np.nonzero(side[g] == 1)[0]
-                gl, gr = g[l_loc], g[r_loc]
-                if len(gl) == 0 or len(gr) == 0:
+        def _big_group(g, l_loc, r_loc, w, triu):
+            if is_oc:
+                _big_group_oc(g, l_loc, r_loc, w, triu)
+                return
+            # standard measures: cheap size/positional masks + PREFIX-only
+            # membership matrices for the dedup test; the expensive full-vocab
+            # overlap matmul is built lazily, and sparse survivor sets fall
+            # back to per-pair sorted intersects.
+            gl, gr = g[l_loc], g[r_loc]
+            pvals, prows = _gather_flat(rv, st, ln, g, limit=pl)
+            pvocab, P = _membership(pvals, prows, len(g))
+            w_idx = int(np.searchsorted(pvocab, w))
+            Pb = P[:, :w_idx]
+            state = {"M": None}
+            sz_l_all = size[gl].astype(np.int32)
+            sz_r = size[gr].astype(np.int32)
+            rem_l = (sz_l_all - pos[gl] - 1).astype(np.int32)
+            rem_r = (sz_r - pos[gr] - 1).astype(np.int32)
+            for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
+                i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                lc = l_loc[i0:i1]
+                n1 = sz_l_all[i0:i1][:, None]
+                n2 = sz_r[None, :]
+                # int32 mask chain + overlap-threshold LUT: the candidate-mask
+                # evaluation dominates kernel time on dense corpora and is
+                # memory-bandwidth bound — avoid float64 ceil per cell
+                ot = _ot_lut(sim_measure_type, threshold, n1, n2)
+                mask = np.minimum(n1, n2) >= ot
+                rem = np.minimum(rem_l[i0:i1][:, None], rem_r[None, :])
+                mask &= rem + 1 >= ot
+                if triu:
+                    mask &= (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
+                if not mask.any():
                     continue
+                before = Pb[lc] @ Pb[r_loc].T
+                mask &= before == 0
+                n_surv = int(np.count_nonzero(mask))
+                if n_surv == 0:
+                    continue
+                # per-pair intersects win only for genuinely sparse survivors
+                if n_surv >= min(20000, _MATMUL_DENSITY * mask.size):
+                    if state["M"] is None:
+                        vals, rows_ = _gather_flat(rv, st, ln, g)
+                        _, state["M"] = _membership(vals, rows_, len(g))
+                    M = state["M"]
+                    F = M[lc] @ M[r_loc].T
+                    sim = compute_sim(sim_measure_type, F, n1, n2)
+                    mask &= comp_fn(sim, threshold)
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        emit(gl[i0:i1][ii], gr[jj], sim[ii, jj])
+                else:
+                    ii, jj = np.nonzero(mask)
+                    li, ri = gl[i0:i1][ii], gr[jj]
+                    ov = _pairs_overlap(li, ri)
+                    sim = compute_sim(sim_measure_type, ov, size[li], size[ri])
+                    keep = comp_fn(sim, threshold)
+                    if keep.any():
+                        emit(li[keep], ri[keep], sim[keep])
+
+        for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
+            w = ptok[g[0]]
             if len(g) < _MATRIX_GROUP_MIN:
-                _small_group(gl, gr, w, li_is_ri=self_join)
+                _small_group(g[l_loc], g[r_loc], w, triu)
             else:
-                _big_group(g, l_loc, r_loc, w)
+                _big_group(g, l_loc, r_loc, w, triu)
 
         if not out_l:
             return empty
@@ -327,18 +474,15 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
         dsize = _np(tbl, "dsize")
         pv, po = _list_col_parts(tbl, "ranks")    # prefix sets
         gv, go = _list_col_parts(tbl, "grams")    # full distinct sets
+        pv_st, pv_ln = po[:-1], np.diff(po)
+        gv_st, gv_ln = go[:-1], np.diff(go)
         strs = tbl["s"].combine_chunks() if isinstance(tbl["s"], pa.ChunkedArray) else tbl["s"]
 
-        order = np.argsort(ptok, kind="stable")
-        pt_s = ptok[order]
-        bounds = np.nonzero(np.diff(pt_s))[0] + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(pt_s)]))
-
+        grp = _np(tbl, "grp")
         cand_l, cand_r = [], []
 
-        def _small(gl, gr, w):
-            if self_join:
+        def _small(gl, gr, w, triu):
+            if triu:
                 n = len(gl)
                 iu, ju = np.triu_indices(n, k=1)
                 li, ri = gl[iu], gl[ju]
@@ -346,8 +490,6 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                 li = np.repeat(gl, len(gr))
                 ri = np.tile(gr, len(gl))
             m = np.abs(slen[li] - slen[ri]) <= t
-            if self_join:
-                m &= li != ri
             li, ri = li[m], ri[m]
             for k in range(len(li)):
                 a, b = li[k], ri[k]
@@ -362,10 +504,10 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                 cand_l.append(np.array([a]))
                 cand_r.append(np.array([b]))
 
-        def _big(g, l_loc, r_loc, w):
+        def _big(g, l_loc, r_loc, w, triu):
             # membership matrices over local prefix / full-gram vocabularies
-            pvocab, P, _ = _member_matrices(pv, po, g, None, build_prefix=False)
-            gvocab, M, _ = _member_matrices(gv, go, g, None, build_prefix=False)
+            pvocab, P, _ = _member_matrices(pv, pv_st, pv_ln, g, None, build_prefix=False)
+            gvocab, M, _ = _member_matrices(gv, gv_st, gv_ln, g, None, build_prefix=False)
             w_idx = int(np.searchsorted(pvocab, w))
             gl, gr = g[l_loc], g[r_loc]
             Pb = P[:, :w_idx]
@@ -375,7 +517,7 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                 L1 = slen[gl[i0:i1]][:, None]
                 L2 = slen[gr][None, :]
                 mask = np.abs(L1 - L2) <= t
-                if self_join:
+                if triu:
                     mask &= (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
                 if not mask.any():
                     continue
@@ -392,24 +534,12 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                     cand_l.append(gl[i0:i1][ii])
                     cand_r.append(gr[jj])
 
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            g = order[s:e]
-            w = pt_s[s]
-            if self_join:
-                gl = gr = g
-                l_loc = r_loc = np.arange(len(g), dtype=np.int64)
-            else:
-                l_loc = np.nonzero(side[g] == 0)[0]
-                r_loc = np.nonzero(side[g] == 1)[0]
-                gl, gr = g[l_loc], g[r_loc]
-                if len(gl) == 0 or len(gr) == 0:
-                    continue
+        for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
+            w = ptok[g[0]]
             if len(g) < _MATRIX_GROUP_MIN:
-                _small(gl, gr, w)
+                _small(g[l_loc], g[r_loc], w, triu)
             else:
-                _big(g, l_loc, r_loc, w)
+                _big(g, l_loc, r_loc, w, triu)
 
         if not cand_l:
             return empty
@@ -447,18 +577,15 @@ def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
                           "r_key": pa.array([], type=key_type)})
         if tbl.num_rows < 2:
             return empty
-        ptok = _np(tbl, "ptok")
-        side = _np(tbl, "side", np.int8)
-        size = _np(tbl, "size")
-        pl = _np(tbl, "pl")
-        rv, ro = _list_col_parts(tbl, "ranks")
-
-        li, ri, gtok = _group_pairs(ptok, side, self_join)
-        if len(li) == 0:
+        parts = _split_heavy_light(tbl)
+        if parts is None:
             return empty
-        if self_join:
-            m = li != ri
-            li, ri, gtok = li[m], ri[m], gtok[m]
+        tbl_l, keys, side, st, ln, rv = parts
+        ptok = _np(tbl_l, "ptok")
+        size = _np(tbl_l, "size")
+        pl = _np(tbl_l, "pl")
+        grp = _np(tbl_l, "grp")
+        li, ri, gtok = _group_pairs(grp, ptok, side, self_join)
         if len(li) == 0:
             return empty
         n = len(li)
@@ -467,8 +594,8 @@ def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
         if filter_type == "position":
             ot = get_overlap_threshold(size[li], size[ri], sim_measure_type, threshold)
         for k in range(n):
-            a = rv[ro[li[k]]:ro[li[k] + 1]]
-            b = rv[ro[ri[k]]:ro[ri[k] + 1]]
+            a = rv[st[li[k]]:st[li[k]] + ln[li[k]]]
+            b = rv[st[ri[k]]:st[ri[k]] + ln[ri[k]]]
             ap = a[:pl_l[k]]
             bp = b[:pl_r[k]]
             shared = np.intersect1d(ap, bp, assume_unique=True)

@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from rayssj.filter_utils import COMP_OP_MAP
-from rayssj.joins import DEFAULT_NUM_BUCKETS, _as_dataset, _drop_if_present, _rename_ds, join_num_partitions
+from rayssj.joins import DEFAULT_NUM_BUCKETS, _as_dataset, _drop_if_present, _rename_ds, hash_join, join_num_partitions
 from rayssj.validation import validate_attr, validate_comp_op, _schema_of
 
 _L_STR = "__l_match_str"
@@ -45,8 +45,7 @@ def fetch_pair_strings(candset, candset_l_key_attr, candset_r_key_attr,
             if a != fetch_attr:
                 renames[a] = extra_prefix + a
         side = _rename_ds(side, renames)
-        out = cand.join(side, "inner", num_partitions=min(num_partitions, join_num_partitions()),
-                        on=(cand_key,), right_on=("__jk",))
+        out = hash_join(cand, side, on=(cand_key,), right_on=("__jk",))
         return _drop_if_present(out, ["__jk"])
 
     cand = attach(cand, l_ds, l_key_attr, l_fetch_attr, l_col,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from rayssj.tokenizers import _list_parts
@@ -28,36 +29,100 @@ TOKENS_COL = "__tokens"
 
 
 def _partial_counts(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: (token, partial count) — shrinks the shuffle."""
+    """Per-batch combiner: (token, partial count) plus one marker row carrying
+    the batch's empty-token-set and missing (null) row counts — one pass
+    computes the ordering AND the allow_empty/allow_missing side-path stats."""
+    col = batch[TOKENS_COL]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n_missing = col.null_count
+    lens = pc.list_value_length(col)
+    n_empty = len(pc.indices_nonzero(pc.and_(pc.is_valid(col), pc.equal(lens, 0))))
     values, _ = _list_parts(batch[TOKENS_COL])
     if len(values) == 0:
-        return pa.table({"token": pa.array([], type=pa.string()),
-                         "cnt": pa.array([], type=pa.int64())})
+        tok = pa.array([None], type=pa.string())
+        return pa.table({"token": tok,
+                         "cnt": pa.array([0], type=pa.int64()),
+                         "n_empty": pa.array([n_empty], type=pa.int64()),
+                         "n_missing": pa.array([n_missing], type=pa.int64())})
     vc = values.value_counts()
-    return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
+    k = len(vc)
+    return pa.table({
+        "token": pa.concat_arrays([vc.field("values").cast(pa.string()),
+                                   pa.array([None], type=pa.string())]),
+        "cnt": pa.concat_arrays([vc.field("counts").cast(pa.int64()),
+                                 pa.array([0], type=pa.int64())]),
+        "n_empty": pa.array([0] * k + [n_empty], type=pa.int64()),
+        "n_missing": pa.array([0] * k + [n_missing], type=pa.int64()),
+    })
 
 
-def build_token_order(*tokenized_datasets) -> pd.Index:
-    """Compute the global rank order over one or more tokenized Datasets
-    (each must carry a ``__tokens`` list<string> column).
+def _merge_partials(batch: pa.Table) -> pa.Table:
+    """Second-level combiner: merge many per-batch partial tables."""
+    import pandas as pd
 
-    Returns a pandas Index whose position IS the rank (ascending frequency,
-    ties by token value) — ``index.get_indexer(tokens)`` maps token → rank at
-    C speed inside encoder actors.
+    df = batch.to_pandas()
+    markers = df[df["token"].isna()]
+    counts = (df[df["token"].notna()].groupby("token", as_index=False)["cnt"].sum())
+    out = pd.DataFrame({"token": list(counts["token"]) + [None],
+                        "cnt": list(counts["cnt"]) + [0],
+                        "n_empty": [0] * len(counts) + [int(markers["n_empty"].sum())],
+                        "n_missing": [0] * len(counts) + [int(markers["n_missing"].sum())]})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class TokenOrder:
+    """Global token ordering + side-path stats.
+
+    ``index``: pandas Index, position = rank (ascending frequency, ties by
+    token). ``counts``: int64 ndarray aligned to rank (document frequency for
+    set tokenizers) — drives hot-token salting. ``n_empty``/``n_missing``:
+    row counts for the allow_empty / allow_missing side paths (the extra key
+    fetch passes run only when these are non-zero).
     """
-    from ray.data.aggregate import Sum
+
+    __slots__ = ("index", "counts", "n_empty", "n_missing")
+
+    def __init__(self, index, counts, n_empty, n_missing):
+        self.index = index
+        self.counts = counts
+        self.n_empty = int(n_empty)
+        self.n_missing = int(n_missing)
+
+    def __len__(self):
+        return len(self.index)
+
+
+def build_token_order(*tokenized_datasets) -> TokenOrder:
+    """One streaming pass: per-batch combiners → coalesce to ~CPU-count blocks
+    → second-level merge → driver concat (driver sees at most
+    blocks × vocab partial rows, never corpus-sized data)."""
+    import ray
 
     ds = tokenized_datasets[0]
     for other in tokenized_datasets[1:]:
         ds = ds.union(other)
-    counts = (ds.map_batches(_partial_counts, batch_format="pyarrow",
+    partial = ds.map_batches(_partial_counts, batch_format="pyarrow",
                              zero_copy_batch=True)
-                .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
-    pdf = counts.to_pandas()
-    if pdf.empty or "token" not in pdf.columns:  # empty input table
-        return pd.Index([], dtype=object)
-    pdf = pdf.sort_values(["cnt", "token"], kind="mergesort", ignore_index=True)
-    return pd.Index(pdf["token"])
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    merged = (partial.repartition(max(2, min(ncpu, 32)))
+                     .map_batches(_merge_partials, batch_format="pyarrow"))
+    pdf = merged.to_pandas()
+    if pdf.empty or pdf["token"].notna().sum() == 0:
+        n_empty = int(pdf["n_empty"].sum()) if "n_empty" in pdf else 0
+        n_missing = int(pdf["n_missing"].sum()) if "n_missing" in pdf else 0
+        return TokenOrder(pd.Index([], dtype=object),
+                          np.array([], dtype=np.int64), n_empty, n_missing)
+    n_empty = int(pdf["n_empty"].sum())
+    n_missing = int(pdf["n_missing"].sum())
+    counts = (pdf[pdf["token"].notna()]
+              .groupby("token", as_index=False)["cnt"].sum()
+              .sort_values(["cnt", "token"], kind="mergesort", ignore_index=True))
+    return TokenOrder(pd.Index(counts["token"]),
+                      counts["cnt"].to_numpy(dtype=np.int64),
+                      n_empty, n_missing)
 
 
 def put_token_order(order: pd.Index):

@@ -1,0 +1,147 @@
+"""Flagship record-linkage pipeline (north_star): Parquet Common-Crawl-style
+pages → byte-identical text extraction → prefix-blocked jaccard self-join →
+transitive-closure clustering — checkpointed and resumable per stage/partition.
+
+Layout under ``out_root``:
+  extracted/part=<i>/*.parquet + manifest.jsonl     (key-hash partitions)
+  token_order.parquet + order_meta.json             (fingerprinted broadcast state)
+  pairs/part=<i>/*.parquet + manifest.jsonl         (bucket-range partitions)
+  clusters/part=0/*.parquet + manifest.jsonl
+A killed run restarts from its last completed partition of each stage; the
+extraction function version is pinned in the manifests (changing it
+invalidates them — SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rayssj.checkpoint import Manifest, fingerprint_paths, run_partitioned
+from rayssj.extract import EXTRACTOR_VERSION, extract_stage
+from rayssj.ordering import TokenOrder
+from rayssj.tokenizers import WhitespaceTokenizer
+
+PIPELINE_VERSION = "rayssj-linkage-1"
+
+
+def _write_atomic(ds_or_df, part_dir: str):
+    tmp = part_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    import ray.data as rd
+
+    if isinstance(ds_or_df, rd.Dataset):
+        ds_or_df.write_parquet(tmp)
+    else:
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(ds_or_df, preserve_index=False),
+                       os.path.join(tmp, "data.parquet"))
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.rename(tmp, part_dir)
+
+
+def _rows_in(part_dir: str) -> int:
+    return sum(pq.read_metadata(f).num_rows
+               for f in glob.glob(os.path.join(part_dir, "*.parquet")))
+
+
+def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
+                text_col: str = "text", html_col: str = "html",
+                threshold: float = 0.8, tokenizer=None,
+                extract_partitions: int = 8, pair_partitions: int = 4,
+                num_buckets: int = 64) -> dict:
+    """Run (or resume) the full linkage pipeline; returns stage summary."""
+    import ray.data as rd
+
+    from rayssj.cluster import connected_components
+    from rayssj.joins import _drop_missing, _maybe_cache, _tokenize_stage, _clone_tokenizer, _set_sim_join
+    from rayssj.ordering import build_token_order
+
+    tokenizer = tokenizer or WhitespaceTokenizer()
+    os.makedirs(out_root, exist_ok=True)
+    fp = fingerprint_paths(glob.glob(input_path)
+                           if "*" in input_path else [input_path])
+    summary: dict = {"input_fingerprint": fp}
+
+    # ---- stage 1: extract (key-hash partitioned, resumable) -----------------
+    ex_root = os.path.join(out_root, "extracted")
+    pages = rd.read_parquet(input_path)
+    has_html = html_col in pages.schema().names
+
+    def ex_stage(part_ds):
+        if has_html:
+            return extract_stage(part_ds, html_col=html_col, text_col=text_col)
+        return part_ds
+
+    t0 = time.time()
+    run_partitioned(pages, key_col, extract_partitions, ex_root, ex_stage,
+                    version=f"{PIPELINE_VERSION}+{EXTRACTOR_VERSION}",
+                    input_fingerprint=fp)
+    summary["extract_s"] = round(time.time() - t0, 2)
+
+    extracted = rd.read_parquet(sorted(glob.glob(os.path.join(ex_root, "part=*", "*.parquet"))))
+
+    # ---- stage 2: token ordering (fingerprinted broadcast state) ------------
+    order_path = os.path.join(out_root, "token_order.parquet")
+    meta_path = os.path.join(out_root, "order_meta.json")
+    tk = _clone_tokenizer(tokenizer, return_set=True)
+    if os.path.exists(order_path) and os.path.exists(meta_path) and \
+            json.load(open(meta_path)).get("fingerprint") == fp:
+        t = pq.read_table(order_path)
+        meta = json.load(open(meta_path))
+        order = TokenOrder(pd.Index(t["token"].to_pylist()),
+                           np.asarray(t["cnt"].to_pylist(), dtype=np.int64),
+                           meta["n_empty"], meta["n_missing"])
+    else:
+        tok_ds = _tokenize_stage(extracted, key_col, text_col, tk,
+                                 keep_string=False)
+        order = build_token_order(tok_ds)
+        pq.write_table(pa.table({"token": pa.array(list(order.index)),
+                                 "cnt": pa.array(order.counts)}), order_path)
+        json.dump({"fingerprint": fp, "n_empty": order.n_empty,
+                   "n_missing": order.n_missing}, open(meta_path, "w"))
+    summary["vocab"] = len(order)
+
+    # ---- stage 3: pairs (bucket-range partitioned, resumable) ---------------
+    pairs_root = os.path.join(out_root, "pairs")
+    manifest = Manifest(pairs_root)
+    done = manifest.completed()
+    per = num_buckets // pair_partitions
+    t0 = time.time()
+    for i in range(pair_partitions):
+        if i in done:
+            continue
+        lo, hi = i * per, (i + 1) * per if i < pair_partitions - 1 else num_buckets
+        part_dir = os.path.join(pairs_root, f"part={i}")
+        tpart = time.time()
+        pairs = _set_sim_join(
+            extracted, None, key_col, key_col, text_col, text_col, tokenizer,
+            "JACCARD", threshold, self_join=True, num_buckets=num_buckets,
+            token_order=order, bucket_range=(lo, hi))
+        _write_atomic(pairs, part_dir)
+        manifest.record(i, rows=_rows_in(part_dir), fingerprint=fp,
+                        version=PIPELINE_VERSION, wall_s=time.time() - tpart)
+    summary["pairs_s"] = round(time.time() - t0, 2)
+
+    # ---- stage 4: clusters --------------------------------------------------
+    cl_root = os.path.join(out_root, "clusters")
+    cl_manifest = Manifest(cl_root)
+    if 0 not in cl_manifest.completed():
+        t0 = time.time()
+        pairs_ds = rd.read_parquet(sorted(glob.glob(os.path.join(pairs_root, "part=*", "*.parquet"))))
+        comps = connected_components(pairs_ds, f"l_{key_col}", f"r_{key_col}")
+        _write_atomic(comps, os.path.join(cl_root, "part=0"))
+        cl_manifest.record(0, rows=_rows_in(os.path.join(cl_root, "part=0")),
+                           fingerprint=fp, version=PIPELINE_VERSION,
+                           wall_s=time.time() - t0)
+    summary["pairs_rows"] = sum(r["rows"] for r in Manifest(pairs_root).completed().values())
+    summary["cluster_rows"] = Manifest(cl_root).completed()[0]["rows"]
+    return summary

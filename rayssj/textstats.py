@@ -77,10 +77,9 @@ def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     filled = col.fill_null("")
     n_chars = pc.utf8_length(filled)
-    toks = pc.utf8_split_whitespace(filled)
-    n_tokens = pc.list_value_length(toks)
-
     texts = filled.to_pylist()
+    # str.split() semantics (no empty-token artifacts on ""/whitespace)
+    n_tokens = pa.array([len(t.split()) for t in texts], type=pa.int32())
     punct = np.zeros(len(texts))
     digit = np.zeros(len(texts))
     upper = np.zeros(len(texts))

@@ -1,0 +1,57 @@
+"""Cluster-quality gate (BASELINE.md row 1): flagship pipeline on the
+entity-labeled page fixture must reach pairwise F1 >= 0.99."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_pairwise_f1_gate():
+    import ray.data as rd
+
+    from rayssj.cluster import connected_components
+    from rayssj.extract import extract_stage
+    from rayssj.fixtures import make_pages, pairwise_f1
+    from rayssj.joins import jaccard_join
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    pages = make_pages(n_entities=120, seed=42)
+    truth = dict(zip(pages["url"], pages["entity_id"]))
+    # rows with null html AND null text can't be linked; exclude from truth
+    dead = pages[pages["html"].isna() & pages["text"].isna()]["url"]
+    for u in dead:
+        truth.pop(u)
+
+    ds = rd.from_pandas(pages.drop(columns=["entity_id"]))
+    extracted = extract_stage(ds)
+    pairs = jaccard_join(extracted, None, "url", "url", "text", "text",
+                         WhitespaceTokenizer(), 0.6, self_join=True)
+    comps = connected_components(pairs, "l_url", "r_url").to_pandas()
+    pred = dict(zip(comps["node"], comps["component"]))
+
+    prec, rec, f1 = pairwise_f1(pred, truth)
+    assert f1 >= 0.99, (prec, rec, f1)
+
+
+def test_extract_holdout_byte_identical():
+    """The 20% held-out rows must get text derived from html that is
+    byte-identical to what the generator embedded (per-row invariant,
+    BASELINE.json input_hint)."""
+    import ray.data as rd
+
+    from rayssj.extract import extract_stage
+    from rayssj.fixtures import make_pages
+
+    pages = make_pages(n_entities=30, seed=7)
+    ds = rd.from_pandas(pages.drop(columns=["entity_id"]))
+    out = extract_stage(ds).to_pandas().set_index("url")
+    # run twice: determinism
+    out2 = extract_stage(rd.from_pandas(pages.drop(columns=["entity_id"])))\
+        .to_pandas().set_index("url")
+    assert (out["text"].fillna("∅") == out2.loc[out.index, "text"].fillna("∅")).all()
+    # held-out rows (rid%5==0): extracted text == title + "\n" + body
+    for _, row in pages.iterrows():
+        if row["text"] is None and row["html"] is not None:
+            rid = int(row["url"].rsplit("/", 1)[-1])
+            extracted = out.loc[row["url"], "text"]
+            assert extracted.startswith(f"p{rid}\n") or extracted == f"p{rid}", extracted

@@ -1,0 +1,148 @@
+"""Dedup family + text-analysis stages (graft additions)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_df(n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    words = [f"t{i}" for i in range(40)]
+    texts = []
+    for i in range(n):
+        base = " ".join(rng.choice(words, size=12, replace=False))
+        texts.append(base)
+    # exact dupes
+    texts[10] = texts[0]
+    texts[11] = texts[0]
+    # near dupe (one word changed)
+    texts[12] = texts[1].rsplit(" ", 1)[0] + " zzz"
+    return pd.DataFrame({"doc_id": range(n), "text": texts})
+
+
+def test_exact_dedup():
+    import ray.data as rd
+
+    from rayssj.dedup import exact_dedup
+
+    df = _docs_df()
+    out = exact_dedup(rd.from_pandas(df), "text", "doc_id").to_pandas()
+    assert len(out) == len(df) - 2
+    assert 0 in set(out["doc_id"]) and 10 not in set(out["doc_id"])
+
+
+def test_minhash_estimates_jaccard():
+    from rayssj.dedup import MinHasher, _shingle_hashes
+    from rayssj.filter_utils import jaccard
+
+    mh = MinHasher(num_perm=128, shingle_k=3)
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumped over the lazy dog"
+    sa, _ = _shingle_hashes([a], 3)
+    sb, _ = _shingle_hashes([b], 3)
+    est = (mh.minhash(sa[0]) == mh.minhash(sb[0])).mean()
+    true = len(np.intersect1d(sa[0], sb[0])) / len(np.union1d(sa[0], sb[0]))
+    assert abs(est - true) < 0.15
+
+
+def test_minhash_lsh_finds_near_dupes():
+    import ray.data as rd
+
+    from rayssj.dedup import minhash_lsh_pairs
+
+    df = _docs_df()
+    pairs = minhash_lsh_pairs(rd.from_pandas(df), "doc_id", "text",
+                              jaccard_threshold=0.9).to_pandas()
+    found = set(zip(pairs["l_doc_id"], pairs["r_doc_id"]))
+    assert (0, 10) in found and (0, 11) in found and (10, 11) in found
+
+
+def test_simhash_pairs_exact_dupes():
+    import ray.data as rd
+
+    from rayssj.dedup import simhash_pairs
+
+    df = _docs_df()
+    pairs = simhash_pairs(rd.from_pandas(df), "doc_id", "text",
+                          max_hamming=3).to_pandas()
+    found = set(zip(pairs["l_doc_id"], pairs["r_doc_id"]))
+    assert (0, 10) in found and (0, 11) in found
+
+
+def test_embedding_cosine_pairs_exact_vs_bucketed():
+    import ray.data as rd
+
+    from rayssj.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    base[7] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+    df = pd.DataFrame({"vec_id": range(30), "embedding": [list(map(float, v)) for v in base]})
+    exact = embedding_cosine_pairs(rd.from_pandas(df), "vec_id", "embedding",
+                                   threshold=0.95, num_buckets=1).to_pandas()
+    got = set(zip(exact["l_vec_id"], exact["r_vec_id"]))
+    assert (3, 7) in got
+    # bucketed variant is a subset (approximate path)
+    lsh = embedding_cosine_pairs(rd.from_pandas(df), "vec_id", "embedding",
+                                 threshold=0.95, num_buckets=4).to_pandas()
+    assert set(zip(lsh["l_vec_id"], lsh["r_vec_id"])) <= got
+
+
+def test_ann_topk_matches_bruteforce():
+    import ray.data as rd
+
+    from rayssj.ann import knn_cosine
+
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((100, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(100),
+                       "embedding": [list(map(float, v)) for v in emb]})
+    q = emb[:3]
+    out = knn_cosine(rd.from_pandas(df), q, "vec_id", "embedding", k=5).to_pandas()
+    normed = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ normed.T
+    for qi in range(3):
+        expect = set(np.argsort(-sims[qi])[:5].tolist())
+        got = set(out[out["query_id"] == qi]["key"])
+        assert got == expect
+
+
+def test_quality_and_token_stats():
+    import pyarrow as pa
+
+    from rayssj.textstats import TokenCounter, quality_stats_batch
+
+    batch = pa.table({"doc_id": [1, 2, 3],
+                      "text": ["Hello, World 42!", "", None]})
+    out = quality_stats_batch(batch)
+    assert out["n_chars"].to_pylist() == [16, 0, 0]
+    assert out["n_tokens"].to_pylist() == [3, 0, 0]
+    assert out["digit_ratio"].to_pylist()[0] == round(2 / 16, 6)
+    tc = TokenCounter()
+    out2 = tc(batch)
+    assert out2["ws_tokens"].to_pylist() == [3, 0, 0]
+    assert out2["bpe_tokens"].to_pylist() == [5, 0, 0]  # hello , world 42 !
+
+
+def test_langid_en():
+    import pyarrow as pa
+
+    from rayssj.textstats import LangIdScorer
+
+    s = LangIdScorer()
+    out = s(pa.table({"text": ["the cat and the dog in the house",
+                               "el perro y la casa de los gatos", ""]}))
+    assert out["lang_pred"].to_pylist()[0] == "en"
+    assert out["lang_pred"].to_pylist()[1] == "es"
+    assert out["lang_pred"].to_pylist()[2] == "und"
+
+
+def test_fingerprint_stability():
+    import pyarrow as pa
+
+    from rayssj.textstats import fingerprint_batch
+
+    b1 = fingerprint_batch(pa.table({"text": ["abc", "abd", "abc"]}))
+    fp = b1["fingerprint"].to_pylist()
+    assert fp[0] == fp[2] and fp[0] != fp[1]

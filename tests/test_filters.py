@@ -1,0 +1,127 @@
+"""Per-filter suites (SURVEY.md §5): filter_pair truth tables + the
+completeness property (filter_tables output ⊇ true join pairs), mirroring the
+reference's tests/test_*_filter.py files."""
+
+import pandas as pd
+import pytest
+
+from rayssj import (
+    OverlapFilter,
+    PositionFilter,
+    PrefixFilter,
+    SizeFilter,
+    SuffixFilter,
+    WhitespaceTokenizer,
+    QgramTokenizer,
+)
+from rayssj import filter_utils as fu
+
+from .oracle import result_pair_set, set_sim_join_oracle
+from .test_joins import make_tables
+
+TOK = WhitespaceTokenizer(return_set=True)
+
+
+def test_overlap_filter_pair():
+    f = OverlapFilter(TOK, overlap_size=2)
+    assert not f.filter_pair("a b c", "b c d")   # overlap 2 → keep
+    assert f.filter_pair("a b c", "c d e")       # overlap 1 → prune
+    assert f.filter_pair(None, "x")              # missing → prune
+    assert not OverlapFilter(TOK, 1, allow_missing=True).filter_pair(None, "x")
+    with pytest.raises(AssertionError):
+        OverlapFilter(TOK, overlap_size=0)
+
+
+def test_size_filter_pair():
+    f = SizeFilter(TOK, fu.JACCARD, 0.8)
+    assert not f.filter_pair("a b c d e", "a b c d")   # 4 in [4,6]
+    assert f.filter_pair("a b c d e", "a b")           # 2 < ceil(4)
+    assert not SizeFilter(TOK, fu.JACCARD, 0.5).filter_pair("", "")  # allow_empty
+    assert SizeFilter(TOK, fu.JACCARD, 0.5, allow_empty=False).filter_pair("", "")
+
+
+def test_prefix_filter_pair():
+    f = PrefixFilter(TOK, fu.JACCARD, 0.8)
+    # identical strings always share prefix
+    assert not f.filter_pair("a b c d e", "a b c d e")
+    # disjoint token sets must prune
+    assert f.filter_pair("a b c", "x y z")
+
+
+def test_position_filter_pair():
+    f = PositionFilter(TOK, fu.JACCARD, 0.8)
+    assert not f.filter_pair("a b c d e", "a b c d e")
+    assert f.filter_pair("a b c d e", "a x y z w")  # overlap 1 << needed
+
+
+def test_suffix_filter_pair():
+    f = SuffixFilter(TOK, fu.JACCARD, 0.8)
+    assert not f.filter_pair("a b c d e", "a b c d e")
+    assert f.filter_pair("a b c", "x y z")
+
+
+@pytest.mark.parametrize("filter_cls", [PrefixFilter, PositionFilter, SuffixFilter])
+@pytest.mark.parametrize("measure,t", [(fu.JACCARD, 0.6), (fu.COSINE, 0.7)])
+def test_filter_pair_completeness(filter_cls, measure, t):
+    """A filter must NEVER prune a pair whose true similarity passes t."""
+    A, B = make_tables(seed=17)
+    f = filter_cls(TOK, measure, t)
+    sim = fu.SIM_FUNCTIONS[measure]
+    for sa in A["name"].dropna():
+        for sb in B["name"].dropna():
+            ta, tb = set(TOK.tokenize(sa)), set(TOK.tokenize(sb))
+            if not ta or not tb:
+                continue
+            if sim(ta, tb) >= t:
+                assert not f.filter_pair(sa, sb), (sa, sb)
+
+
+def test_overlap_filter_tables_equivalence():
+    A, B = make_tables(seed=23)
+    f = OverlapFilter(TOK, overlap_size=2)
+    out = f.filter_tables(A, B, "ID", "ID", "name", "name").to_pandas()
+    got = set(zip(out["l_ID"], out["r_ID"]))
+    exp = {(a, b, s)[0:2] for (a, b, s) in set_sim_join_oracle(
+        A, B, "ID", "ID", "name", "name", TOK, fu.OVERLAP, 2,
+        allow_empty=False)}
+    assert got == exp
+
+
+@pytest.mark.parametrize("filter_cls", [PrefixFilter, PositionFilter, SizeFilter])
+def test_filter_tables_superset_of_join(filter_cls):
+    """Blocking completeness: candset ⊇ true jaccard matches at the same t."""
+    A, B = make_tables(seed=29)
+    t = 0.6
+    f = filter_cls(TOK, fu.JACCARD, t)
+    out = f.filter_tables(A, B, "ID", "ID", "name", "name").to_pandas()
+    cand = set(zip(out["l_ID"], out["r_ID"]))
+    true = {(a, b) for (a, b, s) in set_sim_join_oracle(
+        A, B, "ID", "ID", "name", "name", TOK, fu.JACCARD, t,
+        allow_empty=False)}
+    assert true <= cand, sorted(true - cand)[:5]
+
+
+def test_filter_candset_refinement():
+    A, B = make_tables(seed=31)
+    f1 = OverlapFilter(TOK, overlap_size=1)
+    cand = f1.filter_tables(A, B, "ID", "ID", "name", "name")
+    f2 = OverlapFilter(TOK, overlap_size=3)
+    refined = f2.filter_candset(cand, "l_ID", "r_ID", A, B, "ID", "ID",
+                                "name", "name").to_pandas()
+    got = set(zip(refined["l_ID"], refined["r_ID"]))
+    exp = {(a, b) for (a, b, s) in set_sim_join_oracle(
+        A, B, "ID", "ID", "name", "name", TOK, fu.OVERLAP, 3,
+        allow_empty=False)}
+    assert got == exp
+
+
+def test_suffix_filter_tables_no_false_negatives():
+    A, B = make_tables(seed=37, n_a=20, n_b=20)
+    t = 0.6
+    f = SuffixFilter(TOK, fu.JACCARD, t)
+    out = f.filter_tables(A, B, "ID", "ID", "name", "name").to_pandas()
+    cand = set(zip(out["l_ID"], out["r_ID"]))
+    true = {(a, b) for (a, b, s) in set_sim_join_oracle(
+        A, B, "ID", "ID", "name", "name", TOK, fu.JACCARD, t,
+        allow_empty=False)}
+    assert true <= cand
