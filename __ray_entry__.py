@@ -196,6 +196,40 @@ def _q_ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "key"])
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: documents text bytes as opaque media payloads →
+    stubbed decode/feature/resize stages (schema + batching are real)."""
+    import pyarrow.compute as pc
+
+    from rayssj.multimodal import media_pipeline
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "image": pc.cast(t["text"], pa.binary()),
+        }), batch_format="pyarrow")
+    out = media_pipeline(ds, image_col="image", batch_size=64)
+    return (out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "image_width": t["image_width"],
+            "image_height": t["image_height"],
+            "n_feat": pa.array([len(v) for v in t["image_feat"].to_pylist()],
+                               type=pa.int64()),
+            "small_len": pa.array([len(v) for v in t["image_small"].to_pylist()],
+                                  type=pa.int64()),
+        }), batch_format="pyarrow"))
+
+
+def _q_sample_pairs(sf_dir: str):
+    from rayssj.sampler import sample_pairs
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    return sample_pairs(_docs(sf_dir), _docs(sf_dir), "doc_id", "doc_id",
+                        "text", "text", WhitespaceTokenizer(),
+                        sample_size=50, y_param=6, seed=7)
+
+
 def _q_cluster(sf_dir: str):
     from rayssj.cluster import connected_components
     from rayssj.joins import jaccard_join
@@ -275,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": _q_embedding_pairs,
         "ann_topk": _q_ann_topk,
         "cluster_components": _q_cluster,
+        "media_features": _q_media_features,
+        "sample_pairs": _q_sample_pairs,
     }
 
 
@@ -361,6 +397,11 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
         "token_counts": """SELECT doc_id,
        len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
        len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
+FROM documents""",
+        "media_features": """SELECT doc_id,
+       CAST(strlen(text) % 1000 + 1 AS INT) AS image_width,
+       CAST(strlen(text) % 700 + 1 AS INT) AS image_height,
+       64 AS n_feat, 1024 AS small_len
 FROM documents""",
         "quality_stats": """SELECT doc_id, length(text) AS n_chars,
        len(regexp_extract_all(text, '\\S+')) AS n_tokens,

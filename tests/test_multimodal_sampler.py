@@ -1,0 +1,106 @@
+"""Multimodal stub-stage plumbing + sampler + converter coverage."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _media_df(n=30, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "media_id": range(n),
+        "image": [rng.bytes(rng.integers(200, 4000)) for _ in range(n)],
+        "mime": ["image/jpeg"] * n,
+    })
+
+
+def test_image_feature_extractor_deterministic():
+    import pyarrow as pa
+
+    from rayssj.multimodal import ImageFeatureExtractor
+
+    df = _media_df()
+    batch = pa.Table.from_pandas(df, preserve_index=False)
+    ex = ImageFeatureExtractor(col="image", dim=16)
+    out1 = ex(batch)
+    out2 = ImageFeatureExtractor(col="image", dim=16)(batch)
+    assert out1["image_feat"].to_pylist() == out2["image_feat"].to_pylist()
+    assert len(out1["image_feat"].to_pylist()[0]) == 16
+    assert out1["image_width"].to_pylist()[0] >= 1
+
+
+def test_media_pipeline_dataset():
+    import ray.data as rd
+
+    from rayssj.multimodal import media_pipeline
+
+    ds = rd.from_pandas(_media_df())
+    out = media_pipeline(ds, image_col="image", batch_size=8).to_pandas()
+    assert {"image_feat", "image_width", "image_height", "image_small"} <= set(out.columns)
+    assert all(len(b) == 1024 for b in out["image_small"])
+
+
+def test_frame_sampler():
+    import pyarrow as pa
+
+    from rayssj.multimodal import FrameSampler
+
+    batch = pa.table({"video": [b"x" * 10_000, b"", None]})
+    out = FrameSampler(col="video", k=4)(batch)
+    frames = out["video_frames"].to_pylist()
+    assert len(frames[0]) == 4 and all(len(f) == 256 for f in frames[0])
+    assert frames[1] == [] and frames[2] == []
+
+
+def test_real_decoder_clearly_stubbed():
+    from rayssj.multimodal import ImageFeatureExtractor
+
+    with pytest.raises(NotImplementedError):
+        ImageFeatureExtractor(decoder="real")
+
+
+def test_sample_pairs():
+    from rayssj.sampler import sample_pairs
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    from .test_joins import make_tables
+
+    A, B = make_tables(seed=61, with_edge_cases=False)
+    out = sample_pairs(A, B, "ID", "ID", "name", "name",
+                       WhitespaceTokenizer(), sample_size=10, y_param=4,
+                       seed=3).to_pandas()
+    # every sampled r gets at most y/2 top + y/2 random l-candidates
+    per_r = out.groupby("r_ID").size()
+    assert (per_r <= 4).all()
+    assert out["l_ID"].isin(set(A["ID"])).all()
+    assert out["r_ID"].isin(set(B["ID"])).all()
+
+
+def test_converters():
+    import pandas as pd
+
+    from rayssj.converter import dataframe_column_to_str, series_to_str
+
+    df = pd.DataFrame({"a": [1, 2, None], "b": [1.0, 2.5, None],
+                       "c": ["x", "y", None]})
+    s = series_to_str(df["a"])
+    assert s.iloc[0] in ("1", "1.0")  # ints (nullable promotes to float)
+    sb = series_to_str(df["b"])
+    assert sb.iloc[0] == "1" and sb.iloc[1] == "2.5"
+    assert pd.isna(sb.iloc[2])
+    out = dataframe_column_to_str(df, "b")
+    assert out["b"].iloc[1] == "2.5"
+    col = dataframe_column_to_str(df, "b", return_col=True)
+    assert col.iloc[0] == "1"
+    with pytest.raises(AssertionError):
+        dataframe_column_to_str(df, "zz")
+
+
+def test_dataset_column_to_str():
+    import ray.data as rd
+
+    from rayssj.converter import dataset_column_to_str
+
+    ds = rd.from_items([{"k": 1, "v": 3.0}, {"k": 2, "v": 4.5}])
+    out = dataset_column_to_str(ds, "v").to_pandas()
+    assert list(out["v"]) == ["3", "4.5"]
