@@ -221,7 +221,8 @@ SALT_TARGET = 1536
 SALT_MAX = 16
 
 
-def _salt_cells(ptok, row_ids, keyhash, counts, side, self_mode):
+def _salt_cells(ptok, row_ids, keyhash, counts, side, self_mode,
+                salt_target=None):
     """Expand exploded rows into salting-grid cells.
 
     Returns (rep, grp, out_side): ``rep`` indexes the original exploded rows
@@ -229,7 +230,8 @@ def _salt_cells(ptok, row_ids, keyhash, counts, side, self_mode):
     ``out_side`` the row's role inside its cell.
     """
     df = counts[ptok] if len(counts) else np.zeros(len(ptok), dtype=np.int64)
-    s = np.clip((df + SALT_TARGET - 1) // SALT_TARGET, 1, SALT_MAX).astype(np.int64)
+    tgt = salt_target or SALT_TARGET
+    s = np.clip((df + tgt - 1) // tgt, 1, SALT_MAX).astype(np.int64)
     salt = keyhash[row_ids] % s
     total = int(s.sum())
     rep = np.repeat(np.arange(len(ptok), dtype=np.int64), s)
@@ -279,13 +281,14 @@ class _SetSimExploder:
     """
 
     def __init__(self, order_ref, sim_measure_type, threshold, side, num_buckets,
-                 self_mode=False):
+                 self_mode=False, salt_target=None):
         self.order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
         self.measure = sim_measure_type
         self.threshold = threshold
         self.side = side
         self.num_buckets = num_buckets
         self.self_mode = self_mode
+        self.salt_target = salt_target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = self.order
@@ -316,7 +319,8 @@ class _SetSimExploder:
 
         keyhash = _key_hash(keys)
         rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, order.counts,
-                                         self.side, self.self_mode)
+                                         self.side, self.self_mode,
+                                         self.salt_target)
         bucket = _mix_bucket(grp, self.num_buckets)
         # LIGHT rows drive pair generation (no rank payload); the rank arrays
         # travel as HEAVY rows (side = -1) exactly ONCE per (record, bucket) —
@@ -369,13 +373,14 @@ class _EditDistExploder:
     """Explode distinct ordered-prefix q-grams for the edit-distance join."""
 
     def __init__(self, order_ref, qval, threshold, side, num_buckets,
-                 self_mode=False):
+                 self_mode=False, salt_target=None):
         self.order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
         self.qval = qval
         self.threshold = threshold
         self.side = side
         self.num_buckets = num_buckets
         self.self_mode = self_mode
+        self.salt_target = salt_target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = self.order
@@ -424,7 +429,8 @@ class _EditDistExploder:
         # wants record-df — occurrence counts over-estimate df, which only
         # over-salts (harmless)
         rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, order.counts,
-                                         self.side, self.self_mode)
+                                         self.side, self.self_mode,
+                                         self.salt_target)
         take_idx = pa.array(row_ids[rep], type=pa.int64())
         return pa.table({
             "grp": pa.array(grp),
@@ -544,7 +550,7 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                   l_out_prefix="l_", r_out_prefix="r_",
                   out_sim_score=True, n_jobs=1, show_progress=False,
                   self_join=False, num_buckets=DEFAULT_NUM_BUCKETS,
-                  token_order=None, bucket_range=None):
+                  token_order=None, bucket_range=None, salt_target=None):
     """``token_order``/``bucket_range`` support partitioned-resumable runs
     (rayssj.pipelines): pass a precomputed TokenOrder and restrict the kernel
     stage to buckets in [lo, hi) so each bucket range is an independently
@@ -574,7 +580,8 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
     order_ref = ray.put(order)
 
     expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
-                       num_buckets=num_buckets, self_mode=self_join)
+                       num_buckets=num_buckets, self_mode=self_join,
+                       salt_target=salt_target)
     l_expl = l_clean.map_batches(
         make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -694,7 +701,7 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                        allow_missing=False, l_out_attrs=None, r_out_attrs=None,
                        l_out_prefix="l_", r_out_prefix="r_", out_sim_score=True,
                        n_jobs=1, show_progress=False, self_join=False,
-                       num_buckets=DEFAULT_NUM_BUCKETS):
+                       num_buckets=DEFAULT_NUM_BUCKETS, salt_target=None):
     """Edit-distance join [ref: join/edit_distance_join.py:~25 †U].
 
     Blocking on ordered q-gram-bag prefixes (length q·t+1); verification is
@@ -718,7 +725,7 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
     order_ref = ray.put(order)
 
     expl_kwargs = dict(qval=tk.qval, threshold=threshold, num_buckets=num_buckets,
-                       self_mode=self_join)
+                       self_mode=self_join, salt_target=salt_target)
     l_expl = l_clean.map_batches(
         make_explode_fn(_EditDistExploder, order_ref, side=0, **expl_kwargs),
         batch_format="pyarrow", zero_copy_batch=True)
