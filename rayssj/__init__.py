@@ -33,6 +33,10 @@ from rayssj.matcher import apply_matcher
 from rayssj.profiler import profile_table_for_join
 from rayssj.sampler import sample_pairs
 from rayssj.converter import dataframe_column_to_str, series_to_str
+from rayssj.cluster import connected_components
+from rayssj.extract import extract_stage, extract_text
+from rayssj.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs, embedding_cosine_pairs
+from rayssj.ann import knn_cosine
 
 __all__ = [
     "QgramTokenizer",
@@ -56,4 +60,12 @@ __all__ = [
     "sample_pairs",
     "dataframe_column_to_str",
     "series_to_str",
+    "connected_components",
+    "extract_stage",
+    "extract_text",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_cosine_pairs",
+    "knn_cosine",
 ]

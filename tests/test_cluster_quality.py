@@ -55,3 +55,22 @@ def test_extract_holdout_byte_identical():
             rid = int(row["url"].rsplit("/", 1)[-1])
             extracted = out.loc[row["url"], "text"]
             assert extracted.startswith(f"p{rid}\n") or extracted == f"p{rid}", extracted
+
+
+def test_distributed_label_propagation_matches_union_find():
+    """Force the distributed min-label-propagation path (driver_threshold=0)
+    and compare against the driver union-find fast path."""
+    import pandas as pd
+
+    from rayssj.cluster import connected_components
+
+    edges = pd.DataFrame({
+        "a": [1, 2, 3, 10, 11, 20, 1, 30],
+        "b": [2, 3, 4, 11, 12, 21, 4, 31],
+    })
+    fast = connected_components(edges, "a", "b").to_pandas()
+    dist = connected_components(edges, "a", "b", driver_threshold=0).to_pandas()
+    f = dict(zip(fast["node"], fast["component"]))
+    d = dict(zip(dist["node"], dist["component"]))
+    assert f == d
+    assert f[4] == 1 and f[12] == 10 and f[21] == 20 and f[31] == 30
