@@ -85,6 +85,15 @@ def _q_prefix_filter(sf_dir: str):
                            "text", self_join=True)
 
 
+def _q_position_filter(sf_dir: str):
+    from rayssj.filters import PositionFilter
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    f = PositionFilter(WhitespaceTokenizer(), "JACCARD", 0.9)
+    return f.filter_tables(_docs(sf_dir), None, "doc_id", "doc_id", "text",
+                           "text", self_join=True)
+
+
 def _q_size_filter(sf_dir: str):
     from rayssj.filters import SizeFilter
     from rayssj.tokenizers import WhitespaceTokenizer
@@ -297,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_filter": _q_overlap_filter,
         "prefix_filter": _q_prefix_filter,
         "size_filter": _q_size_filter,
+        "position_filter": _q_position_filter,
         "apply_matcher": _q_apply_matcher,
         "profile_documents": _q_profile,
         "exact_dedup": _q_exact_dedup,
@@ -375,6 +385,23 @@ pos AS (SELECT d.doc_id, d.tok,
 pref AS (SELECT doc_id, tok FROM pos WHERE p <= n - ceil(0.9 * n - 1e-9) + 1)
 SELECT DISTINCT a.doc_id AS l_doc_id, b.doc_id AS r_doc_id
 FROM pref a JOIN pref b USING (tok) WHERE a.doc_id < b.doc_id""",
+        "position_filter": """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+df AS (SELECT tok, count(*) c FROM dt GROUP BY tok),
+rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) rnk FROM df),
+pos AS (SELECT d.doc_id, d.tok, r.rnk,
+               row_number() OVER (PARTITION BY d.doc_id ORDER BY r.rnk) p,
+               count(*) OVER (PARTITION BY d.doc_id) n
+        FROM dt d JOIN rk r USING (tok)),
+pref AS (SELECT doc_id, tok, rnk, p, n FROM pos
+         WHERE p <= n - ceil(0.9 * n - 1e-9) + 1),
+agg AS (SELECT a.doc_id la, b.doc_id rb, count(*) c,
+               arg_max(a.p, a.rnk) pa_last, arg_max(b.p, a.rnk) pb_last,
+               any_value(a.n) na, any_value(b.n) nb
+        FROM pref a JOIN pref b USING (tok)
+        WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+SELECT la AS l_doc_id, rb AS r_doc_id FROM agg
+WHERE c + least(na - pa_last, nb - pb_last) >= ceil(0.9 / 1.9 * (na + nb) - 1e-9)""",
         "size_filter": """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
 sizes AS (SELECT doc_id, count(*) n FROM dt GROUP BY doc_id)
