@@ -177,6 +177,17 @@ def _q_minhash_pairs(sf_dir: str):
                              jaccard_threshold=0.9)
 
 
+def _q_minhash_exact(sf_dir: str):
+    """LSH-banded candidates verified with TRUE shingle-set Jaccard; with
+    bands=32/r=2 the banding miss probability at s>=0.8 is <1e-14, so the
+    result equals the exact all-pairs SQL oracle."""
+    from rayssj.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), "doc_id", "text", num_perm=64,
+                             bands=32, shingle_k=5, jaccard_threshold=0.8,
+                             verify="exact")
+
+
 def _q_simhash_pairs(sf_dir: str):
     from rayssj.dedup import simhash_pairs
 
@@ -199,7 +210,7 @@ def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
     queries = np.array(emb["embedding"].to_pylist()[:5], dtype=np.float32)
     out = knn_cosine(_embs(sf_dir), queries, "vec_id", "embedding", k=10)
     return out.select_columns(["query_id", "key"])
@@ -315,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_exact": _q_minhash_exact,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_pairs": _q_embedding_pairs,
         "ann_topk": _q_ann_topk,
@@ -430,6 +442,43 @@ FROM documents""",
        CAST(strlen(text) % 700 + 1 AS INT) AS image_height,
        64 AS n_feat, 1024 AS small_len
 FROM documents""",
+        "minhash_exact": """WITH idx AS (
+  SELECT unnest(range(1, (SELECT max(length(text)) FROM documents))) AS i),
+sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS s
+       FROM documents, idx WHERE i <= length(text) - 4),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+ov AS (SELECT a.doc_id la, b.doc_id rb, count(*) o
+       FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT la AS l_doc_id, rb AS r_doc_id,
+       o * 1.0 / (sa.n + sb.n - o) AS _sim_score
+FROM ov JOIN sizes sa ON sa.doc_id = la JOIN sizes sb ON sb.doc_id = rb
+WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.8""",
+        "cluster_components": """WITH RECURSIVE
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) n FROM dt GROUP BY doc_id),
+ov AS (SELECT a.doc_id la, b.doc_id rb, count(*) o
+       FROM dt a JOIN dt b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+match_pairs AS (SELECT la, rb
+       FROM ov JOIN sizes sa ON sa.doc_id = la JOIN sizes sb ON sb.doc_id = rb
+       WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.9),
+edges AS (SELECT la a, rb b FROM match_pairs UNION SELECT rb, la FROM match_pairs),
+cc(node, comp) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.b, cc.comp FROM cc JOIN edges e ON e.a = cc.node
+)
+SELECT node, min(comp) AS component FROM cc GROUP BY node""",
+        "ann_topk": """WITH q AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (SELECT q.query_id, e.vec_id AS key,
+                  list_cosine_similarity(q.qe, e.embedding) AS s
+           FROM q CROSS JOIN embeddings e),
+ranked AS (SELECT query_id, key,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, key) rn
+           FROM scored)
+SELECT query_id, key FROM ranked WHERE rn <= 10""",
         "quality_stats": """SELECT doc_id, length(text) AS n_chars,
        len(regexp_extract_all(text, '\\S+')) AS n_tokens,
        CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0

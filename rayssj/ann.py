@@ -51,9 +51,10 @@ class _TopKScorer:
         flat = idx.reshape(-1)
         scores = sims[np.repeat(np.arange(len(self.q)), k), flat]
         keys = batch[self.key_col].combine_chunks() if isinstance(batch[self.key_col], pa.ChunkedArray) else batch[self.key_col]
+        # no rounding: rank boundaries must match a float-exact oracle
         return pa.table({"query_id": pa.array(qids),
                          "key": keys.take(pa.array(flat)),
-                         "_sim_score": pa.array(np.round(scores.astype(np.float64), 6))})
+                         "_sim_score": pa.array(scores.astype(np.float64))})
 
 
 def knn_cosine(ds, queries: np.ndarray, key_col: str, emb_col: str = "embedding",
@@ -61,7 +62,18 @@ def knn_cosine(ds, queries: np.ndarray, key_col: str, emb_col: str = "embedding"
     """Exact cosine top-k: distributed batch-local top-k (actor pool holding
     the broadcast query matrix) → tiny global per-query top-k reduction.
     Returns Dataset (query_id, key, _sim_score) with exactly k rows/query."""
+    from rayssj.joins import _probe_empty
+
     ds = _as_dataset(ds)
+    if _probe_empty(ds):
+        import ray.data as rd
+
+        from rayssj.validation import _schema_of
+
+        kt = _schema_of(ds).field(key_col).type
+        return rd.from_arrow(pa.schema([
+            ("query_id", pa.int64()), ("key", kt),
+            ("_sim_score", pa.float64())]).empty_table())
     qref = ray.put(np.asarray(queries, dtype=np.float32))
     partial = ds.select_columns([key_col, emb_col]).map_batches(
         _TopKScorer, batch_format="pyarrow",
@@ -70,8 +82,9 @@ def knn_cosine(ds, queries: np.ndarray, key_col: str, emb_col: str = "embedding"
         concurrency=concurrency)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nlargest(min(k, len(g)), "_sim_score", keep="first") \
-                .sort_values(["_sim_score", "key"], ascending=[False, True])
+        # deterministic tie-break on key (matches ORDER BY score DESC, key)
+        return (g.sort_values(["_sim_score", "key"], ascending=[False, True])
+                 .head(min(k, len(g))))
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 

@@ -80,14 +80,25 @@ class Manifest:
         self.path = os.path.join(root, "manifest.jsonl")
         os.makedirs(root, exist_ok=True)
 
-    def completed(self) -> dict[int, dict]:
+    def completed(self, *, fingerprint: str | None = None,
+                  version: str | None = None) -> dict[int, dict]:
+        """Completed partitions; when ``fingerprint``/``version`` are given,
+        ONLY records matching the current run count as done — changed input
+        data or a bumped pipeline/extractor version must invalidate stale
+        partition output, not silently reuse it."""
         done = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
                 for line in f:
                     rec = json.loads(line)
-                    if rec.get("status") == "done":
-                        done[rec["partition"]] = rec
+                    if rec.get("status") != "done":
+                        continue
+                    if fingerprint is not None and \
+                            rec.get("input_fingerprint") != fingerprint:
+                        continue
+                    if version is not None and rec.get("version") != version:
+                        continue
+                    done[rec["partition"]] = rec
         return done
 
     def record(self, partition: int, *, rows: int, fingerprint: str,
@@ -120,7 +131,7 @@ def run_partitioned(ds, key_col: str, num_partitions: int, out_root: str,
     100 TB run lose a node and redo only the lost partitions.
     """
     manifest = Manifest(out_root)
-    done = manifest.completed()
+    done = manifest.completed(fingerprint=input_fingerprint, version=version)
     out_dirs = []
     for i in range(num_partitions):
         part_dir = os.path.join(out_root, f"part={i}")

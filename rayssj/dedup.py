@@ -15,8 +15,41 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from rayssj.checkpoint import stable_hash64
-from rayssj.joins import _as_dataset, _rename_ds
+from rayssj.joins import (
+    _as_dataset,
+    _drop_if_present,
+    _probe_empty,
+    _rename_ds,
+    hash_join,
+)
 from rayssj.tokenizers import _list_parts
+
+
+def _empty_pairs(ds, key_col: str):
+    import ray.data as rd
+
+    from rayssj.validation import _schema_of
+
+    kt = _schema_of(ds).field(key_col).type
+    return rd.from_arrow(pa.schema([
+        (f"l_{key_col}", kt), (f"r_{key_col}", kt),
+        ("_sim_score", pa.float64())]).empty_table())
+
+
+def _scrub_blocks(ds, batch_size: int = 65536):
+    """Purge zero-schema empty blocks from a Dataset.
+
+    ``groupby(...).map_groups`` under hash shuffle emits a schema-less empty
+    block for every empty hash partition (Ray 2.49). A plain ``map_batches``
+    SKIPS such blocks (fn is never called on them), so they survive into the
+    next shuffle where ``HashShuffleAggregator.finalize`` flakily crashes with
+    ``ArrowInvalid: No match for FieldRef.Name(...)``. Forcing an explicit
+    ``batch_size`` makes the bundler coalesce blocks, which drops the
+    empties (verified empirically against injected ``pa.table({})`` blocks).
+    """
+    return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                          batch_size=batch_size)
+
 
 # ---------------------------------------------------------------- exact dedup
 
@@ -29,6 +62,8 @@ def exact_dedup(ds, text_col: str, key_col: str):
     collisions cannot merge distinct texts.
     """
     ds = _as_dataset(ds)
+    if _probe_empty(ds):  # all-empty groupby input crashes Ray's hash shuffle
+        return ds
 
     def add_hash(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
@@ -110,14 +145,32 @@ class MinHasher:
 def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       jaccard_threshold: float = 0.7, seed: int = 42,
-                      concurrency=(1, 8)):
-    """MinHash-LSH candidate pairs verified by minhash-estimated Jaccard:
-    sketch (actor pool) → explode (band_id, band_hash) rows → groupby bucket →
-    in-bucket pair-gen → estimate sim from full sketches → threshold.
+                      concurrency=(1, 8), verify: str = "estimate"):
+    """MinHash-LSH candidate pairs: sketch (actor pool) → explode
+    (band_id, band_hash) rows → groupby bucket → in-bucket pair-gen →
+    verify → threshold.
 
-    Returns Dataset (l_<key>, r_<key>, _sim_score[estimated jaccard]).
+    ``verify="estimate"`` scores pairs with the sketch-estimated Jaccard
+    (fraction of matching minhash slots). ``verify="exact"`` joins the texts
+    back onto the banded candidates and scores the TRUE Jaccard of the
+    distinct shingle(-hash) sets, so emitted pairs genuinely meet the nominal
+    threshold (recall is still bounded by the banding collision probability,
+    1-(1-s^r)^b).
+
+    A pair colliding in several bands is emitted ONLY from the first band in
+    which its sketches collide (the kernel holds both full sketches, so the
+    check is a cheap reshape of the already-computed equality matrix). That
+    makes pairs globally unique with NO second dedup shuffle — the round-1
+    ``groupby(l_key, r_key)`` dedup was both a full extra shuffle and the
+    crash site recorded in CORRECTNESS_r01 (schema-less empty blocks from
+    empty hash partitions crashing HashShuffleAggregator.finalize).
+
+    Returns Dataset (l_<key>, r_<key>, _sim_score).
     """
+    assert verify in ("estimate", "exact")
     ds = _as_dataset(ds)
+    if _probe_empty(ds):
+        return _empty_pairs(ds, key_col)
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
 
@@ -160,11 +213,20 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
         n = tbl.num_rows
         if n < 2:
             return empty
+        band = int(tbl["band"][0].as_py())
         values, lengths = _list_parts(tbl["minhash"])
         mh = values.to_numpy(zero_copy_only=False).view(np.uint64).reshape(n, num_perm)
         iu, ju = np.triu_indices(n, k=1)
-        est = (mh[iu] == mh[ju]).mean(axis=1)
-        keep = est >= jaccard_threshold
+        eq = mh[iu] == mh[ju]                       # (pairs, num_perm)
+        est = eq.mean(axis=1)
+        # first-colliding-band rule: a pair collides in band b iff ALL slots
+        # of that band match; emit only when THIS band is the first such band
+        # (argmax of a bool matrix = index of the first True)
+        band_eq = eq.reshape(len(iu), bands, rows_per_band).all(axis=2)
+        first_band = band_eq.argmax(axis=1)
+        keep = band_eq[:, band] & (first_band == band)
+        if verify == "estimate":
+            keep &= est >= jaccard_threshold
         iu, ju, est = iu[keep], ju[keep], est[keep]
         if len(iu) == 0:
             return empty
@@ -177,12 +239,45 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
                          "r_key": rk.filter(pa.array(m)),
                          "_sim_score": pa.array(np.round(est[m], 6))})
 
-    pairs = exploded.groupby(["band", "bh"]).map_groups(
-        bucket_kernel, batch_format="pyarrow")
-    # a pair can collide in several bands → dedup
-    uniq = pairs.groupby(["l_key", "r_key"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
-    return _rename_ds(uniq, {"l_key": f"l_{key_col}", "r_key": f"r_{key_col}"})
+    pairs = _scrub_blocks(exploded.groupby(["band", "bh"]).map_groups(
+        bucket_kernel, batch_format="pyarrow"))
+    if verify == "exact":
+        pairs = _exact_jaccard_verify(pairs, ds, key_col, text_col,
+                                      shingle_k, jaccard_threshold)
+    return _rename_ds(pairs, {"l_key": f"l_{key_col}", "r_key": f"r_{key_col}"})
+
+
+def _exact_jaccard_verify(pairs, ds, key_col: str, text_col: str,
+                          shingle_k: int, threshold: float):
+    """True-Jaccard verification of candidate pairs: hash-join both texts back
+    by key (cost ∝ candidates, not corpus), then score |A∩B|/|A∪B| over the
+    distinct shingle-hash sets per pair. Pairs are few relative to the corpus,
+    so the per-pair sorted-intersection is the cheap part; the joins dominate.
+    """
+    docs = ds.select_columns([key_col, text_col])
+    l_side = _rename_ds(docs, {key_col: "__jk", text_col: "__lt"})
+    r_side = _rename_ds(docs, {key_col: "__jk", text_col: "__rt"})
+    p = _drop_if_present(hash_join(pairs, l_side, on=("l_key",), right_on=("__jk",)), ["__jk"])
+    p = _drop_if_present(hash_join(p, r_side, on=("r_key",), right_on=("__jk",)), ["__jk"])
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        lt = [x or "" for x in t["__lt"].to_pylist()]
+        rt = [x or "" for x in t["__rt"].to_pylist()]
+        lsh, _ = _shingle_hashes(lt, shingle_k)
+        rsh, _ = _shingle_hashes(rt, shingle_k)
+        sims = np.zeros(len(lt), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(lsh, rsh)):
+            union = a.size + b.size
+            if union == 0:
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            sims[i] = inter / (union - inter)
+        keep = sims >= threshold
+        out = t.select(["l_key", "r_key"]).filter(pa.array(keep))
+        # no rounding: score must hash-match the SQL oracle's o/(n1+n2-o)
+        return out.append_column("_sim_score", pa.array(sims[keep]))
+
+    return p.map_batches(verify_batch, batch_format="pyarrow")
 
 
 def minhash_dedup(ds, key_col: str, text_col: str = "text", **kwargs):
@@ -192,24 +287,27 @@ def minhash_dedup(ds, key_col: str, text_col: str = "text", **kwargs):
 
     ds = _as_dataset(ds)
     pairs = minhash_lsh_pairs(ds, key_col, text_col, **kwargs)
-    comps = connected_components(pairs, f"l_{key_col}", f"r_{key_col}")
-    losers = comps.map_batches(
-        lambda t: t.filter(pc.not_equal(t["node"], t["component"])).select(["node"]),
-        batch_format="pyarrow")
-    loser_keys = set(r["node"] for r in losers.take_all())
-    import ray
+    comps = connected_components(pairs, f"l_{key_col}", f"r_{key_col}").materialize()
+    if comps.count() == 0:
+        return ds
+    # distributed anti-join: keep rows whose key is NOT a component loser.
+    # (round 1 collected every loser key to the driver and ran a per-row
+    # Python membership filter — a driver OOM at web scale.)
+    def loser_keys(t: pa.Table) -> pa.Table:
+        lk = t.filter(pc.not_equal(t["node"], t["component"]))["node"]
+        return pa.table({"__loser_key": lk,
+                         "__is_loser": pa.array(np.ones(len(lk), dtype=np.int8))})
 
-    ref = ray.put(loser_keys)
+    losers = comps.map_batches(loser_keys, batch_format="pyarrow")
+    joined = hash_join(ds, losers, on=(key_col,), right_on=("__loser_key",),
+                       join_type="left_outer")
 
-    def drop(batch: pa.Table) -> pa.Table:
-        import ray as _r
+    def keep_winners(t: pa.Table) -> pa.Table:
+        mask = pc.is_null(t["__is_loser"])
+        drop = [c for c in ("__is_loser", "__loser_key") if c in t.schema.names]
+        return t.filter(mask).drop_columns(drop)
 
-        lk = _r.get(ref)
-        keys = batch[key_col].to_pylist()
-        mask = pa.array([k not in lk for k in keys])
-        return batch.filter(mask)
-
-    return ds.map_batches(drop, batch_format="pyarrow")
+    return joined.map_batches(keep_winners, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------- simhash
@@ -242,6 +340,8 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
     16-bit simhash quadrants (a pair within distance 3 shares >= 1 intact
     quadrant of its 64-bit hash — pigeonhole)."""
     ds = _as_dataset(ds)
+    if _probe_empty(ds):
+        return _empty_pairs(ds, key_col)
     sketched = ds.select_columns([key_col, text_col]).map_batches(
         SimHasher, batch_format="pyarrow",
         fn_constructor_kwargs=dict(text_col=text_col, shingle_k=shingle_k),
@@ -275,6 +375,7 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
         n = tbl.num_rows
         if n < 2:
             return empty
+        chunk = int(tbl["chunk"][0].as_py())
         h = tbl["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         iu, ju = np.triu_indices(n, k=1)
         x = h[iu] ^ h[ju]
@@ -284,7 +385,16 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
         for _ in range(8):
             dist += np.unpackbits((v & np.uint64(0xFF)).astype(np.uint8)).reshape(-1, 8).sum(1).astype(np.int64)
             v >>= np.uint64(8)
-        keep = dist <= max_hamming
+        # first-intact-chunk rule: a pair lands in every chunk whose fragment
+        # is identical in both hashes; emit only from the FIRST such chunk so
+        # pairs are globally unique with no second dedup shuffle (the round-1
+        # groupby(l_key, r_key) dedup was the CORRECTNESS_r01 crash site)
+        frag_mask = np.uint64((1 << chunk_bits) - 1)
+        intact = np.stack(
+            [((x >> np.uint64(c * chunk_bits)) & frag_mask) == 0
+             for c in range(n_chunks)], axis=1)
+        first_chunk = intact.argmax(axis=1)
+        keep = (dist <= max_hamming) & (first_chunk == chunk)
         iu, ju, dist = iu[keep], ju[keep], dist[keep]
         if len(iu) == 0:
             return empty
@@ -296,27 +406,47 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
                          "r_key": rk.filter(pa.array(m)),
                          "_sim_score": pa.array(dist[m].astype(np.float64))})
 
-    pairs = exploded.groupby(["chunk", "frag"]).map_groups(
-        bucket_kernel, batch_format="pyarrow")
-    uniq = pairs.groupby(["l_key", "r_key"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
-    return _rename_ds(uniq, {"l_key": f"l_{key_col}", "r_key": f"r_{key_col}"})
+    pairs = _scrub_blocks(exploded.groupby(["chunk", "frag"]).map_groups(
+        bucket_kernel, batch_format="pyarrow"))
+    return _rename_ds(pairs, {"l_key": f"l_{key_col}", "r_key": f"r_{key_col}"})
 
 
 # ----------------------------------------------------- embedding cosine dedup
 
 
+def _grid_cells_default() -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, int(np.ceil(np.sqrt(2 * cpus))))
+
+
 def embedding_cosine_pairs(ds, key_col: str, emb_col: str = "embedding",
                            threshold: float = 0.95, num_buckets: int = 1,
-                           seed: int = 42):
+                           seed: int = 42, grid_cells: int | None = None):
     """Near-dup pairs by embedding cosine >= threshold.
 
-    Baseline path (num_buckets=1): one group, blocked numpy matmul.
-    Scale path: LSH bucketing by sign of random hyperplane projections
-    (num_buckets = 2^n_planes groups; only intra-bucket pairs compared —
-    approximate, documented).
+    Default path (num_buckets<=1): EXACT all-pairs, distributed over an
+    s×s cell grid — each row is hashed to a cell and replicated to the s
+    grid tasks it participates in; each unordered cell pair (i<=j) is one
+    matmul task over ~(n/s) × (n/s) vectors, so the O(n²) compare is spread
+    across ~s²/2 tasks instead of one whole-table group (the round-1 default
+    materialized the entire table in a single task). Every pair lands in
+    exactly ONE grid cell, so no dedup shuffle is needed.
+
+    Scale path (num_buckets>1): approximate LSH bucketing by sign of random
+    hyperplane projections (num_buckets = 2^n_planes groups; only
+    intra-bucket pairs compared — recall < 1, documented).
     """
     ds = _as_dataset(ds)
+    if _probe_empty(ds):
+        return _empty_pairs(ds, key_col)
+    if num_buckets <= 1:
+        return _embedding_pairs_grid(ds, key_col, emb_col, threshold,
+                                     grid_cells or _grid_cells_default())
 
     n_planes = max(int(np.log2(max(num_buckets, 1))), 0)
 
@@ -369,6 +499,81 @@ def embedding_cosine_pairs(ds, key_col: str, emb_col: str = "embedding",
         return pa.table({"l_key": lk, "r_key": rk,
                          "_sim_score": pa.array(np.round(s, 6))})
 
-    pairs = prepped.groupby("bucket").map_groups(bucket_kernel,
-                                                 batch_format="pyarrow")
+    pairs = _scrub_blocks(prepped.groupby("bucket").map_groups(
+        bucket_kernel, batch_format="pyarrow"))
+    return _rename_ds(pairs, {"l_key": f"l_{key_col}", "r_key": f"r_{key_col}"})
+
+
+def _embedding_pairs_grid(ds, key_col: str, emb_col: str, threshold: float,
+                          s: int):
+    """Exact distributed all-pairs cosine: rows hash to cell c ∈ [0,s);
+    row c replicates to grid groups (min(c,g), max(c,g)) for g ∈ [0,s);
+    group (i,j) compares cell-i rows against cell-j rows (triangle when
+    i == j). Each unordered pair is compared in exactly one group."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        values, lengths = _list_parts(batch[emb_col])
+        dim = int(lengths[0]) if len(lengths) else 0
+        n = len(lengths)
+        v = values.to_numpy(zero_copy_only=False).astype(np.float32).reshape(n, dim)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        keys = batch[key_col].combine_chunks() if isinstance(batch[key_col], pa.ChunkedArray) else batch[key_col]
+        cell = (stable_hash64(keys).to_numpy(zero_copy_only=False)
+                .view(np.uint64) % np.uint64(s)).astype(np.int64)
+        # replicate each row to its s grid groups
+        g = np.arange(s, dtype=np.int64)
+        cc = np.repeat(cell, s)
+        gg = np.tile(g, n)
+        gid = np.minimum(cc, gg) * s + np.maximum(cc, gg)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), s)
+        offs = np.arange(0, (n + 1) * dim, dim, dtype=np.int64)
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offs), pa.array(v.reshape(-1).astype(np.float64)))
+        idx = pa.array(row_ids)
+        return pa.table({"gid": pa.array(gid), "cell": pa.array(cc),
+                         "key": keys.take(idx), "vec": lst.take(idx)})
+
+    prepped = ds.select_columns([key_col, emb_col]).map_batches(
+        prep, batch_format="pyarrow")
+
+    def grid_kernel(tbl: pa.Table) -> pa.Table:
+        keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
+        empty = pa.table({"l_key": pa.array([], type=keys.type),
+                          "r_key": pa.array([], type=keys.type),
+                          "_sim_score": pa.array([], type=pa.float64())})
+        n = tbl.num_rows
+        if n < 2:
+            return empty
+        gid = int(tbl["gid"][0].as_py())
+        i, j = gid // s, gid % s
+        values, lengths = _list_parts(tbl["vec"])
+        dim = int(lengths[0])
+        v = values.to_numpy(zero_copy_only=False).reshape(n, dim)
+        cell = tbl["cell"].to_numpy(zero_copy_only=False)
+        if i == j:
+            # a diagonal group holds each cell-i row ONCE (min==max collapses
+            # the s replicas of g==c to one gid) — plain triangle
+            sims_m = v @ v.T
+            iu, ju = np.nonzero(np.triu(sims_m >= threshold, k=1))
+            sims = sims_m[iu, ju]
+        else:
+            li = np.flatnonzero(cell == i)
+            rj = np.flatnonzero(cell == j)
+            if len(li) == 0 or len(rj) == 0:
+                return empty
+            sims_m = v[li] @ v[rj].T
+            ii, jj = np.nonzero(sims_m >= threshold)
+            iu, ju, sims = li[ii], rj[jj], sims_m[ii, jj]
+        if len(iu) == 0:
+            return empty
+        lk, rk = keys.take(pa.array(iu)), keys.take(pa.array(ju))
+        swap = pc.greater(lk, rk)
+        lk, rk = pc.if_else(swap, rk, lk), pc.if_else(swap, lk, rk)
+        m = pc.not_equal(lk, rk).to_numpy(zero_copy_only=False)
+        return pa.table({"l_key": lk.filter(pa.array(m)),
+                         "r_key": rk.filter(pa.array(m)),
+                         "_sim_score": pa.array(np.round(sims[m], 6))})
+
+    pairs = _scrub_blocks(prepped.groupby("gid").map_groups(
+        grid_kernel, batch_format="pyarrow"))
     return _rename_ds(pairs, {"l_key": f"l_{key_col}", "r_key": f"r_{key_col}"})

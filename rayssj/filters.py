@@ -69,6 +69,16 @@ class _BaseFilter:
 
         cand = _as_dataset(candset)
         orig_cols = cand.schema().names
+        from rayssj.joins import _probe_empty
+
+        if _probe_empty(cand):
+            import ray.data as rd
+
+            from rayssj.validation import _schema_of
+
+            sch = _schema_of(cand)
+            return rd.from_arrow(pa.schema(
+                [pa.field(c, sch.field(c).type) for c in orig_cols]).empty_table())
         fetched = fetch_pair_strings(
             cand, candset_l_key_attr, candset_r_key_attr, ltable, rtable,
             l_key_attr, r_key_attr, l_filter_attr, r_filter_attr,
@@ -96,8 +106,18 @@ class _BaseFilter:
 
         from rayssj.joins import _ensure_parallel
 
-        l_ds = _ensure_parallel(_as_dataset(ltable))
-        r_ds = l_ds if self_join else _ensure_parallel(_as_dataset(rtable))
+        l_raw = _as_dataset(ltable)
+        r_raw = l_raw if self_join else _as_dataset(rtable)
+        l_ds = _ensure_parallel(l_raw)
+        r_ds = l_ds if self_join else _ensure_parallel(r_raw)
+        from rayssj.joins import _empty_pairs_output, _probe_empty
+        from rayssj.validation import _schema_of
+
+        if _probe_empty(l_ds) or (not self_join and _probe_empty(r_ds)):
+            return _empty_pairs_output(_schema_of(l_raw), _schema_of(r_raw),
+                                       l_key_attr, r_key_attr, l_out_attrs,
+                                       r_out_attrs, l_out_prefix, r_out_prefix,
+                                       out_sim_score=False)
         tk = _clone_tokenizer(self.tokenizer, return_set=True)
         l_tok = _tokenize_stage(l_ds, l_key_attr, l_filter_attr, tk, keep_string=False)
         r_tok = l_tok if self_join else _tokenize_stage(r_ds, r_key_attr, r_filter_attr, tk, keep_string=False)
@@ -139,7 +159,12 @@ class OverlapFilter(_BaseFilter):
         validate_tokenizer(tokenizer)
         if overlap_size <= 0:
             raise AssertionError("overlap_size should be greater than 0")
-        validate_comp_op(comp_op)
+        # restricted to lower-bounded operators: shared-prefix-token blocking
+        # in filter_tables can only surface pairs with >=1 shared token, so
+        # '<'/'<='/'!=' would silently drop every zero-overlap pair there and
+        # diverge from filter_pair on the same instance (ADVICE r01)
+        if comp_op not in (">=", ">", "="):
+            raise AssertionError("comp_op for OVERLAP should be one of >=, > or =")
         self.tokenizer = tokenizer
         self.overlap_size = overlap_size
         self.comp_op = comp_op
@@ -213,8 +238,18 @@ class SizeFilter(_SimMeasureFilter):
 
         from rayssj.joins import _ensure_parallel
 
-        l_ds = _ensure_parallel(_as_dataset(ltable))
-        r_ds = l_ds if self_join else _ensure_parallel(_as_dataset(rtable))
+        l_raw = _as_dataset(ltable)
+        r_raw = l_raw if self_join else _as_dataset(rtable)
+        l_ds = _ensure_parallel(l_raw)
+        r_ds = l_ds if self_join else _ensure_parallel(r_raw)
+        from rayssj.joins import _empty_pairs_output, _probe_empty
+        from rayssj.validation import _schema_of
+
+        if _probe_empty(l_ds) or (not self_join and _probe_empty(r_ds)):
+            return _empty_pairs_output(_schema_of(l_raw), _schema_of(r_raw),
+                                       l_key_attr, r_key_attr, l_out_attrs,
+                                       r_out_attrs, l_out_prefix, r_out_prefix,
+                                       out_sim_score=False)
         tk = _clone_tokenizer(self.tokenizer, return_set=True)
         l_tok = _tokenize_stage(l_ds, l_key_attr, l_filter_attr, tk, keep_string=False)
         r_tok = l_tok if self_join else _tokenize_stage(r_ds, r_key_attr, r_filter_attr, tk, keep_string=False)

@@ -111,6 +111,39 @@ def _ensure_parallel(ds):
     return ds
 
 
+def _probe_empty(ds) -> bool:
+    """True iff the dataset has zero rows. Bounded probe — ``limit(1)`` stops
+    the upstream after the first row, so nonempty inputs pay for one block.
+
+    Needed because Ray 2.49's hash-shuffle groupby crashes with ArrowInvalid
+    ('No match for FieldRef.Name(...)') when EVERY input block is empty: the
+    shuffle has no schema to sort by. Empirically (repro kept in git history):
+    mixed empty+nonempty blocks are fine; all-empty is a deterministic crash.
+    """
+    try:
+        return ds.limit(1).count() == 0
+    except Exception:
+        return False
+
+
+def _empty_pairs_output(l_schema, r_schema, l_key_attr, r_key_attr,
+                        l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                        out_sim_score):
+    """Correctly-shaped TYPED zero-row result for empty-input joins/filters
+    (an untyped empty pandas frame loses its columns through Ray)."""
+    import ray.data as rd
+
+    fields = [pa.field(l_out_prefix + l_key_attr, l_schema.field(l_key_attr).type),
+              pa.field(r_out_prefix + r_key_attr, r_schema.field(r_key_attr).type)]
+    fields += [pa.field(l_out_prefix + a, l_schema.field(a).type)
+               for a in (l_out_attrs or [])]
+    fields += [pa.field(r_out_prefix + a, r_schema.field(a).type)
+               for a in (r_out_attrs or [])]
+    if out_sim_score:
+        fields.append(pa.field("_sim_score", pa.float64()))
+    return rd.from_arrow(pa.schema(fields).empty_table())
+
+
 def _maybe_cache(tok_ds, src_ds):
     """Pin the tokenized dataset in the object store when the SOURCE is small
     (< 512MB estimate): the ordering pass and the explode pass both consume it,
@@ -557,11 +590,22 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
     restartable output partition."""
     import ray.data as rd
 
-    l_ds = _ensure_parallel(_as_dataset(ltable))
-    r_ds = l_ds if self_join else _ensure_parallel(_as_dataset(rtable))
-    validate_join_inputs(l_ds, r_ds, l_key_attr, r_key_attr, l_join_attr,
+    # validate on the RAW datasets: repartition of an empty dataset loses the
+    # schema (Dataset.schema() -> None), which would break attr validation
+    l_raw = _as_dataset(ltable)
+    r_raw = l_raw if self_join else _as_dataset(rtable)
+    validate_join_inputs(l_raw, r_raw, l_key_attr, r_key_attr, l_join_attr,
                          r_join_attr, tokenizer, threshold, comp_op,
                          sim_measure_type, l_out_attrs, r_out_attrs)
+    l_ds = _ensure_parallel(l_raw)
+    r_ds = l_ds if self_join else _ensure_parallel(r_raw)
+    if _probe_empty(l_ds) or (not self_join and _probe_empty(r_ds)):
+        from rayssj.validation import _schema_of
+
+        return _empty_pairs_output(_schema_of(l_raw), _schema_of(r_raw),
+                                   l_key_attr, r_key_attr, l_out_attrs,
+                                   r_out_attrs, l_out_prefix, r_out_prefix,
+                                   out_sim_score)
     tk = _clone_tokenizer(tokenizer, return_set=True)
 
     l_tok = _maybe_cache(_tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=False), l_ds)
@@ -709,11 +753,20 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
     """
     import ray.data as rd
 
-    l_ds = _ensure_parallel(_as_dataset(ltable))
-    r_ds = l_ds if self_join else _ensure_parallel(_as_dataset(rtable))
-    validate_join_inputs(l_ds, r_ds, l_key_attr, r_key_attr, l_join_attr,
+    l_raw = _as_dataset(ltable)
+    r_raw = l_raw if self_join else _as_dataset(rtable)
+    validate_join_inputs(l_raw, r_raw, l_key_attr, r_key_attr, l_join_attr,
                          r_join_attr, tokenizer, threshold, comp_op,
                          fu.EDIT_DISTANCE, l_out_attrs, r_out_attrs)
+    l_ds = _ensure_parallel(l_raw)
+    r_ds = l_ds if self_join else _ensure_parallel(r_raw)
+    if _probe_empty(l_ds) or (not self_join and _probe_empty(r_ds)):
+        from rayssj.validation import _schema_of
+
+        return _empty_pairs_output(_schema_of(l_raw), _schema_of(r_raw),
+                                   l_key_attr, r_key_attr, l_out_attrs,
+                                   r_out_attrs, l_out_prefix, r_out_prefix,
+                                   out_sim_score)
     tk = _clone_tokenizer(tokenizer, return_set=False)
 
     l_tok = _maybe_cache(_tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=True), l_ds)

@@ -73,6 +73,27 @@ def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
     validate_attr(candset_l_key_attr, cand_schema.names, "key", "candset")
     validate_attr(candset_r_key_attr, cand_schema.names, "key", "candset")
     orig_cols = [c for c in cand_schema.names]
+    out_cols = list(orig_cols)
+    out_cols += [l_out_prefix + a for a in (l_out_attrs or [])]
+    out_cols += [r_out_prefix + a for a in (r_out_attrs or [])]
+    if out_sim_score:
+        out_cols.append("_sim_score")
+
+    from rayssj.joins import _probe_empty
+
+    if _probe_empty(cand):
+        import ray.data as rd
+
+        l_schema = _schema_of(_as_dataset(ltable))
+        r_schema = _schema_of(_as_dataset(rtable))
+        fields = [pa.field(c, cand_schema.field(c).type) for c in orig_cols]
+        fields += [pa.field(l_out_prefix + a, l_schema.field(a).type)
+                   for a in (l_out_attrs or [])]
+        fields += [pa.field(r_out_prefix + a, r_schema.field(a).type)
+                   for a in (r_out_attrs or [])]
+        if out_sim_score:
+            fields.append(pa.field("_sim_score", pa.float64()))
+        return rd.from_arrow(pa.schema(fields).empty_table())
 
     fetched = fetch_pair_strings(
         cand, candset_l_key_attr, candset_r_key_attr, ltable, rtable,
@@ -104,9 +125,4 @@ def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
         return out
 
     scored = fetched.map_batches(score, batch_format="pandas")
-    cols = list(orig_cols)
-    cols += [l_out_prefix + a for a in (l_out_attrs or [])]
-    cols += [r_out_prefix + a for a in (r_out_attrs or [])]
-    if out_sim_score:
-        cols.append("_sim_score")
-    return scored.select_columns(cols)
+    return scored.select_columns(out_cols)

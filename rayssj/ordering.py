@@ -71,7 +71,8 @@ def _merge_partials(batch: pa.Table) -> pa.Table:
 
 
 class TokenOrder:
-    """Global token ordering + side-path stats.
+    """Global token ordering + side-path stats (driver-built variant; good to
+    a few million distinct tokens).
 
     ``index``: pandas Index, position = rank (ascending frequency, ties by
     token). ``counts``: int64 ndarray aligned to rank (document frequency for
@@ -90,6 +91,84 @@ class TokenOrder:
 
     def __len__(self):
         return len(self.index)
+
+    def encode(self, list_arr: pa.ListArray):
+        """(flat sorted ranks, aligned token counts, row lengths)."""
+        rv, lengths = encode_ranks(list_arr, self.index)
+        if len(self.counts) and len(rv):
+            cv = self.counts[rv]
+        else:
+            cv = np.zeros(len(rv), dtype=np.int64)
+        return rv, cv, lengths
+
+
+class HashedTokenOrder:
+    """EXACT (count, token)-order ranks behind a sharded uint64-hash lookup —
+    the web-scale replacement for the driver-built :class:`TokenOrder`
+    (SURVEY.md §4 delta 3; VERDICT r01 'kill the driver-side vocabulary').
+
+    The driver never materializes the vocabulary: counts are aggregated with
+    a distributed groupby, ranks are assigned by a distributed
+    ``sort(cnt, token)`` + per-block offset zip (the sort's global block order
+    IS the rank order), and the lookup lives in the object store as
+    ``num_shards`` hash-range shards of (token_hash u64 sorted, rank i64,
+    count i64). Workers fetch shards zero-copy (plasma mmap — shared per
+    node, not copied per worker) and cache them per instance.
+
+    Ranks are bit-identical to the TokenOrder ranks, so every oracle-checked
+    ordering semantic (prefix/position filters, join candidates) is
+    unchanged. A 64-bit hash collision between two distinct tokens would
+    alias their ranks; the build detects duplicates per shard and raises
+    (probability ~(V^2)/2^65 — ~3e-6 at 10M tokens); fall back to
+    ``mode="driver"`` in that event.
+    """
+
+    def __init__(self, shard_refs, num_shards, n_empty, n_missing, size):
+        self.shard_refs = list(shard_refs)
+        self.num_shards = int(num_shards)
+        self.n_empty = int(n_empty)
+        self.n_missing = int(n_missing)
+        self.size = int(size)
+        self._cache: dict = {}
+
+    def __len__(self):
+        return self.size
+
+    def __reduce__(self):
+        return (HashedTokenOrder, (self.shard_refs, self.num_shards,
+                                   self.n_empty, self.n_missing, self.size))
+
+    def _shard(self, s: int):
+        if s not in self._cache:
+            self._cache[s] = ray.get(self.shard_refs[s])
+        return self._cache[s]
+
+    def encode(self, list_arr: pa.ListArray):
+        from rayssj.checkpoint import stable_hash64
+
+        values, lengths = _list_parts(list_arr)
+        if len(values) == 0:
+            z = np.array([], dtype=np.int64)
+            return z, z.copy(), lengths
+        h = (stable_hash64(values.cast(pa.string()))
+             .to_numpy(zero_copy_only=False).view(np.uint64))
+        ranks = np.full(len(h), -1, dtype=np.int64)
+        cnts = np.zeros(len(h), dtype=np.int64)
+        q = np.uint64(2**64 // self.num_shards)
+        sid = np.minimum(h // q, np.uint64(self.num_shards - 1)).astype(np.int64)
+        for s in np.unique(sid):
+            hs, rs, cs = self._shard(int(s))
+            m = sid == s
+            if len(hs) == 0:
+                continue
+            hm = h[m]
+            ix = np.minimum(np.searchsorted(hs, hm), len(hs) - 1)
+            hit = hs[ix] == hm
+            ranks[m] = np.where(hit, rs[ix], -1)
+            cnts[m] = np.where(hit, cs[ix], 0)
+        row_ids = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        perm = np.lexsort((ranks, row_ids))
+        return ranks[perm], cnts[perm], lengths
 
 
 def build_token_order(*tokenized_datasets) -> TokenOrder:

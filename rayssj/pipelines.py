@@ -113,7 +113,7 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
     # ---- stage 3: pairs (bucket-range partitioned, resumable) ---------------
     pairs_root = os.path.join(out_root, "pairs")
     manifest = Manifest(pairs_root)
-    done = manifest.completed()
+    done = manifest.completed(fingerprint=fp, version=PIPELINE_VERSION)
     per = num_buckets // pair_partitions
     t0 = time.time()
     for i in range(pair_partitions):
@@ -134,7 +134,7 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
     # ---- stage 4: clusters --------------------------------------------------
     cl_root = os.path.join(out_root, "clusters")
     cl_manifest = Manifest(cl_root)
-    if 0 not in cl_manifest.completed():
+    if 0 not in cl_manifest.completed(fingerprint=fp, version=PIPELINE_VERSION):
         t0 = time.time()
         pairs_ds = rd.read_parquet(sorted(glob.glob(os.path.join(pairs_root, "part=*", "*.parquet"))))
         comps = connected_components(pairs_ds, f"l_{key_col}", f"r_{key_col}")

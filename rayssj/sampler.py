@@ -3,24 +3,57 @@
 
 Semantics: sample ``sample_size`` r-records; for each, keep the y/2
 highest-overlap l-candidates (distinct shared join-attr tokens) plus y/2
-seeded-random l-records. Ray design: ``random_sample`` on R, then ONE
-overlap-join (threshold 1) of L against the sampled R reusing the salted
-prefix-blocking kernel — the candidate counts come out vectorized; the final
-per-r top-k + random fill is driver-side over the (bounded, sample-sized)
-candidate set.
+seeded-random l-records drawn uniformly (without replacement) from L minus
+the top picks.
+
+Ray design — fully distributed, nothing driver-side scales with |L|:
+  1. ``random_sample`` on R (bounded: sample_size rows, materialized).
+  2. ONE overlap-join (threshold 1) of L vs sampled R reusing the salted
+     prefix-blocking kernel; per-r top-y/2 via a groupby over the (bounded)
+     candidate set.
+  3. Random fill as PRIORITY SAMPLING: every (l, r) pair gets a stable
+     priority = splitmix64(hash64(l) XOR mix(seed, r)); the y/2 smallest
+     priorities per r are exactly a seeded uniform sample without
+     replacement. Batch-local top-y/2 inside ``map_batches`` over L
+     (vectorized argpartition per r), then a tiny per-r final reduce —
+     the knn_cosine shape. L is never collected to the driver, and the
+     priorities are process-stable (round 1 used Python's salted ``hash``,
+     which broke cross-run determinism — ADVICE r01).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-from rayssj.joins import _as_dataset, _rename_ds, _set_sim_join
+from rayssj.checkpoint import stable_hash64
+from rayssj.joins import _as_dataset, _set_sim_join
+
+
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    v = v + np.uint64(0x9E3779B97F4A7C15)
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    return v
+
+
+def _scalar_hash(value, seed: int) -> np.uint64:
+    """Stable per-r stream id: hash64 of the key value mixed with the seed."""
+    h = stable_hash64(pa.array([value]))[0].as_py()
+    return _splitmix64(np.uint64(np.int64(h)).reshape(1) ^
+                       np.uint64(seed & 0xFFFFFFFFFFFFFFFF))[0]
 
 
 def sample_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                  r_join_attr, tokenizer, sample_size, y_param, seed=0,
                  l_out_prefix="l_", r_out_prefix="r_"):
+    import ray
+    import ray.data as rd
+
     ds_l = _as_dataset(ltable)
     ds_r = _as_dataset(rtable)
 
@@ -29,37 +62,88 @@ def sample_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
     r_sample = ds_r.random_sample(frac, seed=seed) if frac < 1.0 else ds_r
     r_sample = r_sample.materialize()  # bounded by sample_size
 
+    lcol, rcol = f"l_{l_key_attr}", f"r_{r_key_attr}"
+    half = max(y_param // 2, 1)
+    out_cols = [l_out_prefix + l_key_attr, r_out_prefix + r_key_attr]
+
+    # bounded by sample_size
+    r_keys = sorted((r[r_key_attr] for r in
+                     r_sample.select_columns([r_key_attr]).take_all()), key=str)
+    from rayssj.joins import _probe_empty
+
+    if not r_keys or _probe_empty(ds_l):
+        from rayssj.validation import _schema_of
+
+        return rd.from_arrow(pa.schema([
+            (out_cols[0], _schema_of(ds_l).field(l_key_attr).type),
+            (out_cols[1], _schema_of(ds_r).field(r_key_attr).type),
+        ]).empty_table())
+
     pairs = _set_sim_join(ds_l, r_sample, l_key_attr, r_key_attr, l_join_attr,
                           r_join_attr, tokenizer, "OVERLAP", 1,
-                          allow_empty=False).to_pandas()
-    lcol, rcol = f"l_{l_key_attr}", f"r_{r_key_attr}"
+                          allow_empty=False).materialize()
 
-    l_keys_all = [r[l_key_attr] for r in
-                  ds_l.select_columns([l_key_attr]).take_all()]
-    r_keys = [r[r_key_attr] for r in
-              r_sample.select_columns([r_key_attr]).take_all()]
+    def top_half(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["_sim_score", lcol], ascending=[False, True])
+                 .head(half)[[lcol, rcol]])
 
-    half = max(y_param // 2, 1)
-    out_l, out_r = [], []
-    by_r = dict(tuple(pairs.groupby(rcol))) if len(pairs) else {}
-    for rk in sorted(r_keys, key=str):
-        g = by_r.get(rk)
-        if g is not None:
-            top = (g.sort_values(["_sim_score", lcol], ascending=[False, True])
-                    .head(half)[lcol].tolist())
-        else:
-            top = []
-        pool = [k for k in l_keys_all if k not in set(top)]
-        grng = np.random.default_rng((seed, hash(str(rk)) & 0xFFFF))
-        pick = (grng.choice(len(pool), size=min(half, len(pool)), replace=False)
-                if pool else [])
-        for lk in top + [pool[i] for i in pick]:
-            out_l.append(lk)
-            out_r.append(rk)
+    # bounded: <= sample_size * half rows — safe to collect for the exclusion
+    # sets the random fill needs. (count-gate: an all-empty pair stream would
+    # crash Ray's hash-shuffle groupby)
+    if pairs.count() == 0:
+        top_df = pd.DataFrame(columns=[lcol, rcol])
+    else:
+        top_df = (pairs.groupby(rcol).map_groups(top_half, batch_format="pandas")
+                       .to_pandas())
+    excl = {rk: set(g[lcol]) for rk, g in top_df.groupby(rcol)} if len(top_df) else {}
+    r_streams = np.array([_scalar_hash(rk, seed) for rk in r_keys],
+                         dtype=np.uint64)
+    bcast = ray.put((r_keys, r_streams, excl))
 
-    import ray.data as rd
+    def local_fill(batch: pa.Table) -> pa.Table:
+        rks, streams, excl_sets = ray.get(bcast)
+        keys = batch[l_key_attr]
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        hl = (stable_hash64(keys).to_numpy(zero_copy_only=False)
+              .view(np.uint64))
+        n = len(hl)
+        out_l, out_r, out_p = [], [], []
+        if n == 0 or not rks:
+            return pa.table({"__l": pa.array([], type=keys.type),
+                             "__r": pa.array([], type=pa.string()),
+                             "__pri": pa.array([], type=pa.uint64())})
+        # (n_l, n_r) priority matrix, vectorized; n_r <= sample_size
+        pri = _splitmix64(hl[:, None] ^ streams[None, :])
+        kvals = keys.to_pylist()
+        for j, rk in enumerate(rks):
+            col = pri[:, j].copy()
+            ex = excl_sets.get(rk)
+            if ex:
+                mask = np.fromiter((k in ex for k in kvals), dtype=bool, count=n)
+                col[mask] = np.iinfo(np.uint64).max
+            k = min(half, n)
+            idx = np.argpartition(col, k - 1)[:k]
+            out_l.extend(idx.tolist())
+            out_r.extend([str(rk)] * k)
+            out_p.extend(col[idx].tolist())
+        return pa.table({"__l": keys.take(pa.array(out_l, type=pa.int64())),
+                         "__r": pa.array(out_r),
+                         "__pri": pa.array(np.array(out_p, dtype=np.uint64))})
 
-    out = rd.from_pandas(pd.DataFrame({
-        l_out_prefix + l_key_attr: out_l,
-        r_out_prefix + r_key_attr: out_r}))
-    return out
+    cand = ds_l.select_columns([l_key_attr]).map_batches(
+        local_fill, batch_format="pyarrow")
+
+    def final_fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__pri", "__l"]).head(half)
+        return g[g["__pri"] < np.iinfo(np.uint64).max][["__l", "__r"]]
+
+    fill_df = (cand.groupby("__r").map_groups(final_fill, batch_format="pandas")
+                   .to_pandas())  # bounded: sample_size * half rows
+
+    r_by_str = {str(rk): rk for rk in r_keys}
+    out_l = list(top_df[lcol]) + list(fill_df["__l"])
+    out_r = list(top_df[rcol]) + [r_by_str[s] for s in fill_df["__r"]]
+    out = pd.DataFrame({l_out_prefix + l_key_attr: out_l,
+                        r_out_prefix + r_key_attr: out_r})
+    out = out.sort_values(list(out.columns), ignore_index=True)
+    return rd.from_pandas(out)

@@ -69,6 +69,46 @@ def test_resume_byte_identical(tmp_path):
     assert sorted(a["k"]) == sorted(df["k"])
 
 
+def test_resume_invalidates_on_fingerprint_or_version_change(tmp_path):
+    """Changed input data or a bumped pipeline version must NOT silently reuse
+    stale partition output (ADVICE r01)."""
+    import ray.data as rd
+
+    from rayssj.checkpoint import Manifest, run_partitioned
+
+    df = pd.DataFrame({"k": [f"key{i:03d}" for i in range(40)], "v": range(40)})
+    ds = rd.from_pandas(df)
+
+    def stage(mult):
+        def fn(part_ds):
+            return part_ds.map_batches(
+                lambda t: t.append_column("v2", pa.array(
+                    [x * mult for x in t["v"].to_pylist()], type=pa.int64())),
+                batch_format="pyarrow")
+        return fn
+
+    root = tmp_path / "run"
+    run_partitioned(ds, "k", 2, str(root), stage(2), version="v1",
+                    input_fingerprint="fpA")
+    assert set(_read_all(str(root))["v2"]) == set(df["v"] * 2)
+
+    # same fingerprint+version → skipped (timestamps unchanged)
+    before = {p: r["ts"] for p, r in Manifest(str(root)).completed().items()}
+    run_partitioned(ds, "k", 2, str(root), stage(3), version="v1",
+                    input_fingerprint="fpA")
+    assert {p: r["ts"] for p, r in Manifest(str(root)).completed().items()} == before
+
+    # new fingerprint → all partitions recomputed with the new stage
+    run_partitioned(ds, "k", 2, str(root), stage(3), version="v1",
+                    input_fingerprint="fpB")
+    assert set(_read_all(str(root))["v2"]) == set(df["v"] * 3)
+
+    # bumped version → recomputed again
+    run_partitioned(ds, "k", 2, str(root), stage(5), version="v2",
+                    input_fingerprint="fpB")
+    assert set(_read_all(str(root))["v2"]) == set(df["v"] * 5)
+
+
 def test_stable_hash_deterministic():
     from rayssj.checkpoint import stable_hash64
 

@@ -57,6 +57,100 @@ def test_minhash_lsh_finds_near_dupes():
     assert (0, 10) in found and (0, 11) in found and (10, 11) in found
 
 
+def test_minhash_lsh_pairs_are_unique():
+    """First-colliding-band emission must yield each pair exactly once with
+    no second dedup shuffle (the round-1 crash site)."""
+    import ray.data as rd
+
+    from rayssj.dedup import minhash_lsh_pairs
+
+    df = _docs_df()
+    pairs = minhash_lsh_pairs(rd.from_pandas(df), "doc_id", "text",
+                              jaccard_threshold=0.5).to_pandas()
+    keys = list(zip(pairs["l_doc_id"], pairs["r_doc_id"]))
+    assert len(keys) == len(set(keys))
+    assert all(l < r for l, r in keys)
+
+
+def test_minhash_lsh_exact_verify():
+    """verify='exact' scores true shingle-set Jaccard, so every emitted pair
+    meets the nominal threshold exactly (checked against brute force)."""
+    import ray.data as rd
+
+    from rayssj.dedup import _shingle_hashes, minhash_lsh_pairs
+
+    df = _docs_df()
+    pairs = minhash_lsh_pairs(rd.from_pandas(df), "doc_id", "text",
+                              jaccard_threshold=0.8, verify="exact").to_pandas()
+    sh, _ = _shingle_hashes(list(df["text"]), 5)
+
+    def true_jac(a, b):
+        inter = np.intersect1d(sh[a], sh[b], assume_unique=True).size
+        return inter / (sh[a].size + sh[b].size - inter)
+
+    assert len(pairs) > 0
+    for l, r, s in zip(pairs["l_doc_id"], pairs["r_doc_id"], pairs["_sim_score"]):
+        assert abs(s - true_jac(l, r)) < 1e-6
+        assert s >= 0.8
+    # the two exact-dup pairs must be found with true score 1.0
+    found = dict(zip(zip(pairs["l_doc_id"], pairs["r_doc_id"]), pairs["_sim_score"]))
+    assert found[(0, 10)] == 1.0 and found[(0, 11)] == 1.0
+    keys = list(zip(pairs["l_doc_id"], pairs["r_doc_id"]))
+    assert len(keys) == len(set(keys))
+
+
+def test_minhash_dedup_drops_losers_distributed():
+    import ray.data as rd
+
+    from rayssj.dedup import minhash_dedup
+
+    df = _docs_df()
+    out = minhash_dedup(rd.from_pandas(df), "doc_id", "text",
+                        jaccard_threshold=0.9).to_pandas()
+    ids = set(out["doc_id"])
+    assert 0 in ids and 10 not in ids and 11 not in ids
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_simhash_pairs_unique_and_composable():
+    """Pairs unique without a dedup shuffle AND the pair stream survives a
+    downstream shuffle (zero-schema empty blocks scrubbed)."""
+    import ray.data as rd
+
+    from rayssj.cluster import connected_components
+    from rayssj.dedup import simhash_pairs
+
+    df = _docs_df()
+    pairs = simhash_pairs(rd.from_pandas(df), "doc_id", "text", max_hamming=3)
+    comps = connected_components(pairs, "l_doc_id", "r_doc_id").to_pandas()
+    assert set(comps[comps["component"] == 0]["node"]) >= {0, 10, 11}
+    pdf = pairs.to_pandas()
+    keys = list(zip(pdf["l_doc_id"], pdf["r_doc_id"]))
+    assert len(keys) == len(set(keys))
+
+
+def test_embedding_grid_matches_bruteforce():
+    """Default grid path is EXACT: same pair set as whole-matrix numpy."""
+    import ray.data as rd
+
+    from rayssj.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 16)).astype(np.float32)
+    for a, b in [(3, 7), (20, 21), (50, 77)]:
+        base[b] = base[a] + rng.standard_normal(16).astype(np.float32) * 0.01
+    df = pd.DataFrame({"vec_id": range(80),
+                       "embedding": [list(map(float, v)) for v in base]})
+    out = embedding_cosine_pairs(rd.from_pandas(df), "vec_id", "embedding",
+                                 threshold=0.9, grid_cells=5).to_pandas()
+    got = set(zip(out["l_vec_id"], out["r_vec_id"]))
+    normed = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    iu, ju = np.nonzero(np.triu(sims >= 0.9, k=1))
+    expect = set(zip(iu.tolist(), ju.tolist()))
+    assert got == expect and len(got) == len(out)
+
+
 def test_simhash_pairs_exact_dupes():
     import ray.data as rd
 

@@ -76,6 +76,35 @@ def test_sample_pairs():
     assert out["r_ID"].isin(set(B["ID"])).all()
 
 
+def test_sample_pairs_deterministic():
+    """Same seed → identical output across calls (priorities are stable
+    hashes, not Python's per-process-salted hash())."""
+    from rayssj.sampler import sample_pairs
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    from .test_joins import make_tables
+
+    A, B = make_tables(seed=61, with_edge_cases=False)
+    kw = dict(sample_size=10, y_param=4, seed=3)
+    out1 = sample_pairs(A, B, "ID", "ID", "name", "name",
+                        WhitespaceTokenizer(), **kw).to_pandas()
+    out2 = sample_pairs(A, B, "ID", "ID", "name", "name",
+                        WhitespaceTokenizer(), **kw).to_pandas()
+    pd.testing.assert_frame_equal(out1, out2)
+    # random fill never duplicates a top pick for the same r
+    assert not out1.duplicated().any()
+
+
+def test_overlap_filter_rejects_unblockable_comp_op():
+    from rayssj.filters import OverlapFilter
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    for op in ("<", "<=", "!="):
+        with pytest.raises(AssertionError):
+            OverlapFilter(WhitespaceTokenizer(), overlap_size=2, comp_op=op)
+    OverlapFilter(WhitespaceTokenizer(), overlap_size=2, comp_op=">")
+
+
 def test_converters():
     import pandas as pd
 
