@@ -32,7 +32,7 @@ import ray
 
 from rayssj import filter_utils as fu
 from rayssj.kernels import make_edit_distance_bucket_kernel, make_set_sim_bucket_kernel
-from rayssj.ordering import TOKENS_COL, build_token_order, encode_ranks
+from rayssj.ordering import TOKENS_COL, build_token_order
 from rayssj.validation import validate_join_inputs
 
 DEFAULT_NUM_BUCKETS = 64
@@ -254,15 +254,16 @@ SALT_TARGET = 1536
 SALT_MAX = 16
 
 
-def _salt_cells(ptok, row_ids, keyhash, counts, side, self_mode,
+def _salt_cells(ptok, row_ids, keyhash, df, side, self_mode,
                 salt_target=None):
     """Expand exploded rows into salting-grid cells.
 
-    Returns (rep, grp, out_side): ``rep`` indexes the original exploded rows
-    (each row replicated s_token times), ``grp`` = ptok*SALT_MAX² + cell id,
-    ``out_side`` the row's role inside its cell.
+    ``df``: per-exploded-row token document frequency (pre-gathered by the
+    caller from the order's counts — works for both TokenOrder and
+    HashedTokenOrder). Returns (rep, grp, out_side): ``rep`` indexes the
+    original exploded rows (each row replicated s_token times), ``grp`` =
+    ptok*SALT_MAX² + cell id, ``out_side`` the row's role inside its cell.
     """
-    df = counts[ptok] if len(counts) else np.zeros(len(ptok), dtype=np.int64)
     tgt = salt_target or SALT_TARGET
     s = np.clip((df + tgt - 1) // tgt, 1, SALT_MAX).astype(np.int64)
     salt = keyhash[row_ids] % s
@@ -325,7 +326,7 @@ class _SetSimExploder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = self.order
-        rv, lengths = encode_ranks(batch[TOKENS_COL], order.index)
+        rv, cv, lengths = order.encode(batch[TOKENS_COL])
         n = len(lengths)
         sizes = lengths.astype(np.int64)
         pl = fu.get_prefix_length(sizes, self.measure, self.threshold)
@@ -346,12 +347,13 @@ class _SetSimExploder:
         np.cumsum(emit_len[:-1], out=first[1:])
         pos = np.arange(total, dtype=np.int64) - first[row_ids]
         ptok = rv[offsets[row_ids] + pos]
+        pdf = cv[offsets[row_ids] + pos]
         ranks_list = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()),
             pa.array(rv.astype(np.int32), type=pa.int32()))
 
         keyhash = _key_hash(keys)
-        rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, order.counts,
+        rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, pdf,
                                          self.side, self.self_mode,
                                          self.salt_target)
         bucket = _mix_bucket(grp, self.num_buckets)
@@ -417,7 +419,7 @@ class _EditDistExploder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = self.order
-        rv, lengths = encode_ranks(batch[TOKENS_COL], order.index)  # bag, sorted by rank
+        rv, cv, lengths = order.encode(batch[TOKENS_COL])  # bag, sorted by rank
         n = len(lengths)
         pl = np.minimum(int(self.qval * self.threshold + 1), lengths).astype(np.int64)
         offsets = np.zeros(n + 1, dtype=np.int64)
@@ -447,10 +449,12 @@ class _EditDistExploder:
         row_ids_all = np.repeat(np.arange(n, dtype=np.int64), pl)
         within = np.arange(len(row_ids_all), dtype=np.int64) - first[row_ids_all]
         pref_vals = rv[offsets[row_ids_all] + within]
+        pref_cnts = cv[offsets[row_ids_all] + within]
         keep = np.ones(len(pref_vals), dtype=bool)
         keep[1:] = (row_ids_all[1:] != row_ids_all[:-1]) | (pref_vals[1:] != pref_vals[:-1])
         row_ids = row_ids_all[keep]
         ptok = pref_vals[keep]
+        pdf = pref_cnts[keep]
         dcounts = np.bincount(row_ids, minlength=n)
         doffsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(dcounts, out=doffsets[1:])
@@ -461,7 +465,7 @@ class _EditDistExploder:
         # counts for the ED bag ordering are occurrence counts; salting still
         # wants record-df — occurrence counts over-estimate df, which only
         # over-salts (harmless)
-        rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, order.counts,
+        rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, pdf,
                                          self.side, self.self_mode,
                                          self.salt_target)
         take_idx = pa.array(row_ids[rep], type=pa.int64())

@@ -585,34 +585,92 @@ def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
         size = _np(tbl_l, "size")
         pl = _np(tbl_l, "pl")
         grp = _np(tbl_l, "grp")
-        li, ri, gtok = _group_pairs(grp, ptok, side, self_join)
-        if len(li) == 0:
-            return empty
-        n = len(li)
-        keep = np.zeros(n, dtype=bool)
-        pl_l, pl_r = pl[li], pl[ri]
-        if filter_type == "position":
-            ot = get_overlap_threshold(size[li], size[ri], sim_measure_type, threshold)
-        for k in range(n):
-            a = rv[st[li[k]]:st[li[k]] + ln[li[k]]]
-            b = rv[st[ri[k]]:st[ri[k]] + ln[ri[k]]]
-            ap = a[:pl_l[k]]
-            bp = b[:pl_r[k]]
-            shared = np.intersect1d(ap, bp, assume_unique=True)
-            if len(shared) == 0 or shared[0] != gtok[k]:
-                continue
-            if filter_type == "prefix":
-                keep[k] = True
-            else:
+        out_l, out_r = [], []
+
+        def _position_bound(li, ri):
+            """Survivors-only positional check: per emitted candidate (not per
+            cell pair), gather the last shared prefix token's positions."""
+            ot = get_overlap_threshold(size[li], size[ri], sim_measure_type,
+                                       threshold)
+            keep = np.zeros(len(li), dtype=bool)
+            for k in range(len(li)):
+                a = rv[st[li[k]]:st[li[k]] + ln[li[k]]]
+                b = rv[st[ri[k]]:st[ri[k]] + ln[ri[k]]]
+                shared = np.intersect1d(a[:pl[li[k]]], b[:pl[ri[k]]],
+                                        assume_unique=True)
                 last = shared[-1]
                 pos_l = int(np.searchsorted(a, last))
                 pos_r = int(np.searchsorted(b, last))
                 bound = len(shared) + min(size[li[k]] - pos_l - 1,
                                           size[ri[k]] - pos_r - 1)
                 keep[k] = bound >= ot[k]
-        li, ri = li[keep], ri[keep]
-        if len(li) == 0:
+            return keep
+
+        def _small(gl, gr, w, triu):
+            if triu:
+                iu, ju = np.triu_indices(len(gl), k=1)
+                li, ri = gl[iu], gl[ju]
+            else:
+                li = np.repeat(gl, len(gr))
+                ri = np.tile(gr, len(gl))
+            keep = np.zeros(len(li), dtype=bool)
+            for k in range(len(li)):
+                a = rv[st[li[k]]:st[li[k]] + ln[li[k]]]
+                b = rv[st[ri[k]]:st[ri[k]] + ln[ri[k]]]
+                shared = np.intersect1d(a[:pl[li[k]]], b[:pl[ri[k]]],
+                                        assume_unique=True)
+                keep[k] = len(shared) > 0 and shared[0] == w
+            li, ri = li[keep], ri[keep]
+            if len(li) == 0:
+                return
+            if filter_type == "position":
+                pk = _position_bound(li, ri)
+                li, ri = li[pk], ri[pk]
+            if len(li):
+                out_l.append(li)
+                out_r.append(ri)
+
+        def _big(g, l_loc, r_loc, w, triu):
+            # membership-matrix dedup (same machinery as the join kernels,
+            # replacing the round-1 per-cell-pair Python loop): every member
+            # has w in its prefix by construction, so first-shared == w is
+            # exactly "no shared prefix token ranked before w"
+            pvals, prows = _gather_flat(rv, st, ln, g, limit=pl)
+            pvocab, P = _membership(pvals, prows, len(g))
+            w_idx = int(np.searchsorted(pvocab, w))
+            Pb = P[:, :w_idx]
+            gl, gr = g[l_loc], g[r_loc]
+            for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
+                i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                lc = l_loc[i0:i1]
+                if triu:
+                    mask = (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
+                else:
+                    mask = np.ones((i1 - i0, len(gr)), dtype=bool)
+                before = Pb[lc] @ Pb[r_loc].T
+                mask &= before == 0
+                ii, jj = np.nonzero(mask)
+                if len(ii) == 0:
+                    continue
+                li, ri = gl[i0:i1][ii], gr[jj]
+                if filter_type == "position":
+                    pk = _position_bound(li, ri)
+                    li, ri = li[pk], ri[pk]
+                if len(li):
+                    out_l.append(li)
+                    out_r.append(ri)
+
+        for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
+            w = ptok[g[0]]
+            if len(g) < _MATRIX_GROUP_MIN:
+                _small(g[l_loc], g[r_loc], w, triu)
+            else:
+                _big(g, l_loc, r_loc, w, triu)
+
+        if not out_l:
             return empty
+        li = np.concatenate(out_l)
+        ri = np.concatenate(out_r)
         lk, rk = _emit_keys(keys, li, ri, normalize=self_join)
         return pa.table({"l_key": lk, "r_key": rk})
 

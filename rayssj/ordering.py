@@ -171,12 +171,26 @@ class HashedTokenOrder:
         return ranks[perm], cnts[perm], lengths
 
 
-def build_token_order(*tokenized_datasets) -> TokenOrder:
+# Above this many distinct (token, cnt) partial rows, build_token_order(auto)
+# switches to the distributed HashedTokenOrder build instead of the driver
+# concat. The partial-row count over-counts the vocabulary by up to the merge
+# block count, so this is a conservative trigger.
+HASHED_VOCAB_THRESHOLD = 3_000_000
+
+
+def build_token_order(*tokenized_datasets, mode: str = "auto",
+                      hashed_threshold: int = HASHED_VOCAB_THRESHOLD,
+                      num_shards: int | None = None):
     """One streaming pass: per-batch combiners → coalesce to ~CPU-count blocks
-    → second-level merge → driver concat (driver sees at most
-    blocks × vocab partial rows, never corpus-sized data)."""
+    → second-level merge. Small vocabularies finish with a driver concat
+    (driver sees at most blocks × vocab partial rows, never corpus-sized
+    data); large ones never touch the driver — ``mode="hashed"`` (or auto
+    above ``hashed_threshold``) runs a distributed groupby + sort and returns
+    a :class:`HashedTokenOrder` with identical rank semantics.
+    """
     import ray
 
+    assert mode in ("auto", "driver", "hashed")
     ds = tokenized_datasets[0]
     for other in tokenized_datasets[1:]:
         ds = ds.union(other)
@@ -188,6 +202,10 @@ def build_token_order(*tokenized_datasets) -> TokenOrder:
         ncpu = 8
     merged = (partial.repartition(max(2, min(ncpu, 32)))
                      .map_batches(_merge_partials, batch_format="pyarrow"))
+    if mode != "driver":
+        merged = merged.materialize()
+        if mode == "hashed" or merged.count() > hashed_threshold:
+            return _build_hashed_order(merged, num_shards or max(2, min(ncpu, 32)))
     pdf = merged.to_pandas()
     if pdf.empty or pdf["token"].notna().sum() == 0:
         n_empty = int(pdf["n_empty"].sum()) if "n_empty" in pdf else 0
@@ -202,6 +220,90 @@ def build_token_order(*tokenized_datasets) -> TokenOrder:
     return TokenOrder(pd.Index(counts["token"]),
                       counts["cnt"].to_numpy(dtype=np.int64),
                       n_empty, n_missing)
+
+
+@ray.remote
+def _hash_rank_block(block: pa.Table, rank_offset: int, num_shards: int):
+    """(token, cnt) block of the globally-sorted counts → per-hash-shard
+    (token_hash, rank, cnt) arrays. The block's position in the sorted
+    dataset supplies the exact global rank via ``rank_offset``."""
+    from rayssj.checkpoint import stable_hash64
+
+    tok = block["token"]
+    tok = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+    h = (stable_hash64(tok.cast(pa.string()))
+         .to_numpy(zero_copy_only=False).view(np.uint64))
+    ranks = rank_offset + np.arange(len(h), dtype=np.int64)
+    cnts = block["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = np.uint64(2**64 // num_shards)
+    sid = np.minimum(h // q, np.uint64(num_shards - 1)).astype(np.int64)
+    out = []
+    for s in range(num_shards):
+        m = sid == s
+        out.append((h[m], ranks[m], cnts[m]))
+    return out
+
+
+@ray.remote
+def _merge_shard(*parts):
+    """Concatenate one hash-range shard's pieces and sort by hash. Raises on
+    a 64-bit token-hash collision (distinct tokens, equal hash) — rebuild
+    with mode='driver' in that (~V²/2^65-probability) event."""
+    h = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype=np.uint64)
+    r = np.concatenate([p[1] for p in parts]) if parts else np.array([], dtype=np.int64)
+    c = np.concatenate([p[2] for p in parts]) if parts else np.array([], dtype=np.int64)
+    order = np.argsort(h, kind="stable")
+    h, r, c = h[order], r[order], c[order]
+    if len(h) > 1 and (h[1:] == h[:-1]).any():
+        raise ValueError("token hash collision detected; rebuild the ordering "
+                         "with build_token_order(..., mode='driver')")
+    return h, r, c
+
+
+def _build_hashed_order(merged, num_shards: int) -> "HashedTokenOrder":
+    """Distributed finish of build_token_order: groupby-sum the partials,
+    sort by (cnt, token), zip exact ranks from per-block offsets, reshard by
+    token hash. The driver handles only ObjectRefs and block metadata."""
+    from ray.data.aggregate import Sum
+
+    markers = merged.map_batches(
+        lambda t: t.filter(pc.is_null(t["token"])).select(["n_empty", "n_missing"]),
+        batch_format="pyarrow")
+    stats = markers.aggregate(Sum("n_empty", alias_name="n_empty"),
+                              Sum("n_missing", alias_name="n_missing"))
+    n_empty = int(stats.get("n_empty") or 0)
+    n_missing = int(stats.get("n_missing") or 0)
+
+    counts = (merged.map_batches(
+                  lambda t: t.filter(pc.is_valid(t["token"])).select(["token", "cnt"]),
+                  batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    sorted_ds = counts.sort(["cnt", "token"]).materialize()
+
+    block_refs, offsets, off = [], [], 0
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            block_refs.append(ref)
+            offsets.append(off)
+            off += meta.num_rows
+    size = off
+    if size == 0:
+        return TokenOrder(pd.Index([], dtype=object),
+                          np.array([], dtype=np.int64), n_empty, n_missing)
+    part_refs = [_hash_rank_block.options(num_returns=num_shards).remote(
+                     ref, o, num_shards)
+                 for ref, o in zip(block_refs, offsets)]
+    # normalize: with num_returns=N each call yields a list of N refs
+    shard_refs = [_merge_shard.remote(*[pr[s] for pr in part_refs])
+                  for s in range(num_shards)]
+    # surface collisions at build time, not first lookup (pulls only ints)
+    ray.get([_shard_rows.remote(r) for r in shard_refs])
+    return HashedTokenOrder(shard_refs, num_shards, n_empty, n_missing, size)
+
+
+@ray.remote
+def _shard_rows(shard) -> int:
+    return len(shard[0])
 
 
 def put_token_order(order: pd.Index):

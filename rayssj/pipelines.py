@@ -103,7 +103,9 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
     else:
         tok_ds = _tokenize_stage(extracted, key_col, text_col, tk,
                                  keep_string=False)
-        order = build_token_order(tok_ds)
+        # driver mode: this stage persists the (token, cnt) table to parquet
+        # for resume, which needs the token strings on the driver
+        order = build_token_order(tok_ds, mode="driver")
         pq.write_table(pa.table({"token": pa.array(list(order.index)),
                                  "cnt": pa.array(order.counts)}), order_path)
         json.dump({"fingerprint": fp, "n_empty": order.n_empty,
