@@ -174,8 +174,13 @@ def main():
     if "--scaling" in sys.argv:
         path = _build_scaling_input()
         env = {"RAYSSJ_SCALING_INPUT": path}
-        lo = run_at(8, env, "--scaling-level")
-        hi = run_at(32, env, "--scaling-level")
+        # best-of-2 per level: this host is a contended shared box (observed
+        # t_32 swinging 35-90s on identical code); min-of-repeats measures
+        # the code, not the neighbors
+        lo = min((run_at(8, env, "--scaling-level") for _ in range(2)),
+                 key=lambda r: r["sec"])
+        hi = min((run_at(32, env, "--scaling-level") for _ in range(2)),
+                 key=lambda r: r["sec"])
         eff = (lo["sec"] / hi["sec"]) / (32 / 8)
         print(json.dumps({
             "input": f"sf0.1 documents x{_SCALE_REPLICAS} ({_SCALE_REPLICAS * 5000} docs)",
@@ -184,6 +189,7 @@ def main():
             "pairs": hi["pairs"],
             "pairs_per_sec_8": lo["pairs_per_sec"],
             "pairs_per_sec_32": hi["pairs_per_sec"],
+            "best_of": 2,
             "scaling_efficiency": round(eff, 3)}))
         return
     print(json.dumps(run_bench()))

@@ -500,32 +500,61 @@ class SuffixFilter(_SimMeasureFilter):
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
                       num_buckets=DEFAULT_NUM_BUCKETS):
-        """O(n·m) pair scan: broadcast the (small) left side, stream the right."""
-        from rayssj.joins import _shape_output
+        """Prefix-blocked candidates refined per pair with ``filter_pair``.
+
+        Any pair surviving the suffix filter must share a prefix token
+        (``filter_pair`` prunes zero-shared-prefix pairs outright), so the
+        distributed prefix blocking generates a superset of the output and
+        the per-pair refinement runs only on candidates — replacing the
+        round-1 O(n·m) broadcast scan of the whole left table. Empty-token
+        pairs (kept by filter_pair when allow_empty) can't share a prefix
+        token, so they're re-added from the bounded empty-key side path.
+        """
         import ray.data as rd
+
+        from rayssj.joins import (
+            _empty_token_keys,
+            _pairs_table,
+            _rename_ds,
+            _shape_output,
+            _tokenize_stage,
+        )
 
         l_ds = _as_dataset(ltable)
         r_ds = l_ds if self_join else _as_dataset(rtable)
-        l_rows = l_ds.select_columns([l_key_attr, l_filter_attr]).take_all()
-        l_ref = ray.put(l_rows)
-        flt = self
+        pf = PrefixFilter(self.tokenizer, self.sim_measure_type, self.threshold,
+                          allow_missing=self.allow_missing)
+        cand = pf.filter_tables(ltable, rtable, l_key_attr, r_key_attr,
+                                l_filter_attr, r_filter_attr,
+                                self_join=self_join, num_buckets=num_buckets)
+        refined = self.filter_candset(
+            cand, "l_" + l_key_attr, "r_" + r_key_attr, l_ds, r_ds,
+            l_key_attr, r_key_attr, l_filter_attr, r_filter_attr)
+        pairs = _rename_ds(refined, {"l_" + l_key_attr: "l_key",
+                                     "r_" + r_key_attr: "r_key"})
 
-        def scan(batch: pd.DataFrame) -> pd.DataFrame:
-            lrs = ray.get(l_ref)
-            out_l, out_r = [], []
-            for _, row in batch.iterrows():
-                rk, rstr = row[r_key_attr], row[r_filter_attr]
-                for lrow in lrs:
-                    lk, lstr = lrow[l_key_attr], lrow[l_filter_attr]
-                    if self_join and not (lk < rk):
-                        continue
-                    if not flt.filter_pair(lstr, rstr):
-                        out_l.append(lk)
-                        out_r.append(rk)
-            return pd.DataFrame({"l_key": out_l, "r_key": out_r})
+        if self.allow_empty:
+            tk = _clone_tokenizer(self.tokenizer, return_set=True)
+            l_tok = _tokenize_stage(l_ds, l_key_attr, l_filter_attr, tk,
+                                    keep_string=False)
+            l_empty = _empty_token_keys(l_tok)
+            r_empty = l_empty if self_join else _empty_token_keys(
+                _tokenize_stage(r_ds, r_key_attr, r_filter_attr, tk,
+                                keep_string=False))
+            ek_l, ek_r = [], []
+            if self_join:
+                for i, a in enumerate(l_empty):
+                    for b in l_empty[i + 1:]:
+                        lo, hi = (a, b) if a <= b else (b, a)
+                        ek_l.append(lo)
+                        ek_r.append(hi)
+            else:
+                ek_l = [a for a in l_empty for _ in r_empty]
+                ek_r = [b for _ in l_empty for b in r_empty]
+            if ek_l:
+                tbl = _pairs_table(ek_l, ek_r, [1.0] * len(ek_l))
+                pairs = pairs.union(rd.from_arrow(tbl.drop_columns(["_sim_score"])))
 
-        pairs = r_ds.select_columns([r_key_attr, r_filter_attr]).map_batches(
-            scan, batch_format="pandas")
         return _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
                              l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
                              out_sim_score=False, num_buckets=num_buckets)

@@ -35,7 +35,9 @@ from rayssj.kernels import make_edit_distance_bucket_kernel, make_set_sim_bucket
 from rayssj.ordering import TOKENS_COL, build_token_order
 from rayssj.validation import validate_join_inputs
 
-DEFAULT_NUM_BUCKETS = 64
+DEFAULT_NUM_BUCKETS = 256  # fine-grained shuffle keys: many buckets per hash
+                           # partition balance kernel-task loads (64 buckets
+                           # over 32 partitions measured lumpy -> stragglers)
 
 
 def join_num_partitions() -> int:
@@ -46,6 +48,9 @@ def join_num_partitions() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
+    # 1x CPUs: doubling partitions recreated the chained-join aggregator
+    # deadlock on a 4-CPU cluster (distributed label propagation hung), and
+    # measured no scaling benefit at 32 CPUs
     return max(2, min(32, cpus))
 
 
@@ -587,11 +592,15 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                   l_out_prefix="l_", r_out_prefix="r_",
                   out_sim_score=True, n_jobs=1, show_progress=False,
                   self_join=False, num_buckets=DEFAULT_NUM_BUCKETS,
-                  token_order=None, bucket_range=None, salt_target=None):
+                  token_order=None, bucket_range=None, salt_target=None,
+                  out_id=False, prebuilt_exploded=None):
     """``token_order``/``bucket_range`` support partitioned-resumable runs
     (rayssj.pipelines): pass a precomputed TokenOrder and restrict the kernel
     stage to buckets in [lo, hi) so each bucket range is an independently
-    restartable output partition."""
+    restartable output partition. ``prebuilt_exploded`` (with ``token_order``)
+    reuses one materialized explode across every bucket-range partition
+    instead of re-tokenizing + re-exploding the full input per partition
+    (see build_set_sim_exploded)."""
     import ray.data as rd
 
     # validate on the RAW datasets: repartition of an empty dataset loses the
@@ -612,34 +621,42 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                                    out_sim_score)
     tk = _clone_tokenizer(tokenizer, return_set=True)
 
-    l_tok = _maybe_cache(_tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=False), l_ds)
-    r_tok = l_tok if self_join else _maybe_cache(_tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=False), r_ds)
-    l_clean = _drop_missing(l_tok)
-    r_clean = l_clean if self_join else _drop_missing(r_tok)
-
-    # ordering over the PRE-drop datasets: null rows add no tokens to the
-    # counts but ARE counted for the allow_missing side path
-    if token_order is not None:
+    if prebuilt_exploded is not None:
+        assert token_order is not None, \
+            "prebuilt_exploded requires the matching token_order"
         order = token_order
-    elif self_join:
-        order = build_token_order(l_tok)
+        exploded = prebuilt_exploded
+        # the side paths below rebuild these lazily only if needed
+        l_tok = r_tok = l_clean = r_clean = None
     else:
-        order = build_token_order(l_tok, r_tok)
-    order_ref = ray.put(order)
+        l_tok = _maybe_cache(_tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=False), l_ds)
+        r_tok = l_tok if self_join else _maybe_cache(_tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=False), r_ds)
+        l_clean = _drop_missing(l_tok)
+        r_clean = l_clean if self_join else _drop_missing(r_tok)
 
-    expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
-                       num_buckets=num_buckets, self_mode=self_join,
-                       salt_target=salt_target)
-    l_expl = l_clean.map_batches(
-        make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
-        batch_format="pyarrow", zero_copy_batch=True)
-    if self_join:
-        exploded = l_expl
-    else:
-        r_expl = r_clean.map_batches(
-            make_explode_fn(_SetSimExploder, order_ref, side=1, **expl_kwargs),
+        # ordering over the PRE-drop datasets: null rows add no tokens to the
+        # counts but ARE counted for the allow_missing side path
+        if token_order is not None:
+            order = token_order
+        elif self_join:
+            order = build_token_order(l_tok)
+        else:
+            order = build_token_order(l_tok, r_tok)
+        order_ref = ray.put(order)
+
+        expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
+                           num_buckets=num_buckets, self_mode=self_join,
+                           salt_target=salt_target)
+        l_expl = l_clean.map_batches(
+            make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
             batch_format="pyarrow", zero_copy_batch=True)
-        exploded = l_expl.union(r_expl)
+        if self_join:
+            exploded = l_expl
+        else:
+            r_expl = r_clean.map_batches(
+                make_explode_fn(_SetSimExploder, order_ref, side=1, **expl_kwargs),
+                batch_format="pyarrow", zero_copy_batch=True)
+            exploded = l_expl.union(r_expl)
 
     if bucket_range is not None:
         lo, hi = bucket_range
@@ -656,6 +673,16 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
     extra = []
     comp_fn = fu.COMP_OP_MAP[comp_op]
     first_range = bucket_range is None or bucket_range[0] == 0
+    needs_side_paths = (
+        (allow_empty and comp_fn(1.0, threshold) and order.n_empty > 0 and first_range)
+        or (allow_missing and order.n_missing > 0 and first_range))
+    if l_clean is None and needs_side_paths:
+        # prebuilt-exploded run that still needs the bounded empty/missing
+        # side passes: rebuild the (cheap) tokenized views on demand
+        l_tok = _maybe_cache(_tokenize_stage(l_ds, l_key_attr, l_join_attr, tk, keep_string=False), l_ds)
+        r_tok = l_tok if self_join else _maybe_cache(_tokenize_stage(r_ds, r_key_attr, r_join_attr, tk, keep_string=False), r_ds)
+        l_clean = _drop_missing(l_tok)
+        r_clean = l_clean if self_join else _drop_missing(r_tok)
     if allow_empty and comp_fn(1.0, threshold) and order.n_empty > 0 and first_range:
         l_empty = _empty_token_keys(l_clean)
         r_empty = l_empty if self_join else _empty_token_keys(r_clean)
@@ -678,9 +705,36 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
     for tbl in extra:
         pairs = pairs.union(rd.from_arrow(tbl))
 
-    return _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
-                         l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
-                         out_sim_score, num_buckets)
+    out = _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
+                        l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                        out_sim_score, num_buckets)
+    if out_id:  # reference-shaped output leads with a dense _id column
+        from rayssj.converter import add_dense_id
+
+        out = add_dense_id(out)
+    return out
+
+
+def build_set_sim_exploded(ltable, key_attr, join_attr, tokenizer,
+                           sim_measure_type, threshold, num_buckets,
+                           token_order, salt_target=None):
+    """Materialize the self-join explode ONCE for reuse across bucket-range
+    partitions (pass as ``_set_sim_join(prebuilt_exploded=...)``): a
+    partitioned-resumable linkage run otherwise re-tokenizes and re-explodes
+    the full input per partition and discards all but 1/pair_partitions of
+    the rows (round-1 VERDICT pipeline audit)."""
+    l_ds = _ensure_parallel(_as_dataset(ltable))
+    tk = _clone_tokenizer(tokenizer, return_set=True)
+    l_tok = _maybe_cache(_tokenize_stage(l_ds, key_attr, join_attr, tk,
+                                         keep_string=False), l_ds)
+    l_clean = _drop_missing(l_tok)
+    order_ref = ray.put(token_order)
+    expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
+                       num_buckets=num_buckets, self_mode=True,
+                       salt_target=salt_target)
+    return l_clean.map_batches(
+        make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
 
 
 def _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
@@ -749,7 +803,8 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                        allow_missing=False, l_out_attrs=None, r_out_attrs=None,
                        l_out_prefix="l_", r_out_prefix="r_", out_sim_score=True,
                        n_jobs=1, show_progress=False, self_join=False,
-                       num_buckets=DEFAULT_NUM_BUCKETS, salt_target=None):
+                       num_buckets=DEFAULT_NUM_BUCKETS, salt_target=None,
+                       out_id=False):
     """Edit-distance join [ref: join/edit_distance_join.py:~25 †U].
 
     Blocking on ordered q-gram-bag prefixes (length q·t+1); verification is
@@ -801,6 +856,11 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
         for tbl in _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
             pairs = pairs.union(rd.from_arrow(tbl))
 
-    return _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
-                         l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
-                         out_sim_score, num_buckets)
+    out = _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
+                        l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
+                        out_sim_score, num_buckets)
+    if out_id:
+        from rayssj.converter import add_dense_id
+
+        out = add_dense_id(out)
+    return out

@@ -166,7 +166,12 @@ def _split_heavy_light(tbl: pa.Table):
 
 
 _MATRIX_GROUP_MIN = 8     # below this, per-pair intersect beats matmul setup
-_PAIR_CHUNK_ROWS = 1024   # l-rows per matmul chunk (bounds pair-matrix memory)
+# 2-D pair tiles: a 512x1024 int32 temp is ~2 MB, so the whole mask chain's
+# temporaries stay in L2/L3 per core instead of streaming through DRAM —
+# with 32 concurrent kernel workers the mask chain is memory-bandwidth
+# bound, and tile residency is what buys 8->32-core scaling
+_PAIR_CHUNK_ROWS = 512    # l-rows per pair tile
+_PAIR_CHUNK_COLS = 1024   # r-rows per pair tile
 _MATMUL_DENSITY = 0.05    # survivor density above which full-matmul overlap wins
 
 _OT_LUT_CACHE: dict = {}
@@ -256,6 +261,7 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
     """
     comp_fn = COMP_OP_MAP[comp_op]
     is_oc = sim_measure_type == "OVERLAP_COEFFICIENT"
+    comp_op_is_ge = comp_op == ">="
 
     def kernel(tbl: pa.Table) -> pa.Table:
         all_keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
@@ -328,39 +334,40 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             vocab, M, P = _member_matrices(rv, st, ln, g, pl)
             w_idx = int(np.searchsorted(vocab, w))
             gl, gr = g[l_loc], g[r_loc]
-            Mr = M[r_loc]
-            Pb_r = P[r_loc, :w_idx]
-            Mb_r = M[r_loc, :w_idx]
             sz_l_all, sz_r = size[gl], size[gr]
             pos_l_all, pos_r = pos[gl], pos[gr]
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 lc = l_loc[i0:i1]
-                F = M[lc] @ Mr.T  # exact pairwise overlap counts
                 n1 = sz_l_all[i0:i1][:, None]
-                n2 = sz_r[None, :]
-                ot = get_overlap_threshold(n1, n2, sim_measure_type, threshold)
-                mask = np.minimum(n1, n2) >= ot
-                ub = 1 + np.minimum(n1 - pos_l_all[i0:i1][:, None] - 1,
-                                    n2 - pos_r[None, :] - 1)
-                mask &= ub >= ot
-                if triu:
-                    mask &= (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
-                # prefix(small) x full(large): two asymmetric matmuls
-                S_pf = P[lc, :w_idx] @ Mb_r.T   # l-prefix · r-full
-                S_fp = M[lc, :w_idx] @ Pb_r.T   # l-full · r-prefix
-                l_small = n1 <= n2
-                before = np.where(l_small, S_pf, S_fp)
-                mask &= before == 0
-                # w itself must lie in the smaller side's true prefix
                 w_in_pref_l = (P[lc, w_idx] > 0)[:, None]
-                w_in_pref_r = (P[r_loc, w_idx] > 0)[None, :]
-                mask &= np.where(l_small, w_in_pref_l, w_in_pref_r)
-                sim = compute_sim(sim_measure_type, F, n1, n2)
-                mask &= comp_fn(sim, threshold)
-                ii, jj = np.nonzero(mask)
-                if len(ii):
-                    emit(gl[i0:i1][ii], gr[jj], sim[ii, jj])
+                for j0 in range(0, len(gr), _PAIR_CHUNK_COLS):
+                    j1 = min(j0 + _PAIR_CHUNK_COLS, len(gr))
+                    rc = r_loc[j0:j1]
+                    F = M[lc] @ M[rc].T  # exact pairwise overlap counts
+                    n2 = sz_r[j0:j1][None, :]
+                    ot = get_overlap_threshold(n1, n2, sim_measure_type, threshold)
+                    mask = np.minimum(n1, n2) >= ot
+                    ub = 1 + np.minimum(n1 - pos_l_all[i0:i1][:, None] - 1,
+                                        n2 - pos_r[j0:j1][None, :] - 1)
+                    mask &= ub >= ot
+                    if triu:
+                        mask &= (np.arange(i0, i1)[:, None] <
+                                 np.arange(j0, j1)[None, :])
+                    # prefix(small) x full(large): two asymmetric matmuls
+                    S_pf = P[lc, :w_idx] @ M[rc, :w_idx].T   # l-prefix · r-full
+                    S_fp = M[lc, :w_idx] @ P[rc, :w_idx].T   # l-full · r-prefix
+                    l_small = n1 <= n2
+                    before = np.where(l_small, S_pf, S_fp)
+                    mask &= before == 0
+                    # w itself must lie in the smaller side's true prefix
+                    w_in_pref_r = (P[rc, w_idx] > 0)[None, :]
+                    mask &= np.where(l_small, w_in_pref_l, w_in_pref_r)
+                    sim = compute_sim(sim_measure_type, F, n1, n2)
+                    mask &= comp_fn(sim, threshold)
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        emit(gl[i0:i1][ii], gr[j0:j1][jj], sim[ii, jj])
 
         def _big_group(g, l_loc, r_loc, w, triu):
             if is_oc:
@@ -384,43 +391,62 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 lc = l_loc[i0:i1]
                 n1 = sz_l_all[i0:i1][:, None]
-                n2 = sz_r[None, :]
-                # int32 mask chain + overlap-threshold LUT: the candidate-mask
-                # evaluation dominates kernel time on dense corpora and is
-                # memory-bandwidth bound — avoid float64 ceil per cell
-                ot = _ot_lut(sim_measure_type, threshold, n1, n2)
-                mask = np.minimum(n1, n2) >= ot
-                rem = np.minimum(rem_l[i0:i1][:, None], rem_r[None, :])
-                mask &= rem + 1 >= ot
-                if triu:
-                    mask &= (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
-                if not mask.any():
-                    continue
-                before = Pb[lc] @ Pb[r_loc].T
-                mask &= before == 0
-                n_surv = int(np.count_nonzero(mask))
-                if n_surv == 0:
-                    continue
-                # per-pair intersects win only for genuinely sparse survivors
-                if n_surv >= min(20000, _MATMUL_DENSITY * mask.size):
-                    if state["M"] is None:
-                        vals, rows_ = _gather_flat(rv, st, ln, g)
-                        _, state["M"] = _membership(vals, rows_, len(g))
-                    M = state["M"]
-                    F = M[lc] @ M[r_loc].T
-                    sim = compute_sim(sim_measure_type, F, n1, n2)
-                    mask &= comp_fn(sim, threshold)
-                    ii, jj = np.nonzero(mask)
-                    if len(ii):
-                        emit(gl[i0:i1][ii], gr[jj], sim[ii, jj])
-                else:
-                    ii, jj = np.nonzero(mask)
-                    li, ri = gl[i0:i1][ii], gr[jj]
-                    ov = _pairs_overlap(li, ri)
-                    sim = compute_sim(sim_measure_type, ov, size[li], size[ri])
-                    keep = comp_fn(sim, threshold)
-                    if keep.any():
-                        emit(li[keep], ri[keep], sim[keep])
+                rem1 = rem_l[i0:i1][:, None]
+                Pl = Pb[lc]
+                for j0 in range(0, len(gr), _PAIR_CHUNK_COLS):
+                    j1 = min(j0 + _PAIR_CHUNK_COLS, len(gr))
+                    rc = r_loc[j0:j1]
+                    n2 = sz_r[j0:j1][None, :]
+                    # int32 mask chain + overlap-threshold LUT: the candidate
+                    # mask evaluation dominates kernel time on dense corpora
+                    # — avoid float64 ceil per cell, keep tile temps cached
+                    ot = _ot_lut(sim_measure_type, threshold, n1, n2)
+                    mask = np.minimum(n1, n2) >= ot
+                    rem = np.minimum(rem1, rem_r[j0:j1][None, :])
+                    mask &= rem + 1 >= ot
+                    if triu:
+                        mask &= (np.arange(i0, i1)[:, None] <
+                                 np.arange(j0, j1)[None, :])
+                    if not mask.any():
+                        continue
+                    before = Pl @ Pb[rc].T
+                    mask &= before == 0
+                    n_surv = int(np.count_nonzero(mask))
+                    if n_surv == 0:
+                        continue
+                    # per-pair intersects win only for genuinely sparse survivors
+                    if n_surv >= min(6000, _MATMUL_DENSITY * mask.size):
+                        if state["M"] is None:
+                            vals, rows_ = _gather_flat(rv, st, ln, g)
+                            _, state["M"] = _membership(vals, rows_, len(g))
+                        M = state["M"]
+                        F = M[lc] @ M[rc].T
+                        if comp_op_is_ge:
+                            # integer threshold test (o >= ot <=> sim >= t,
+                            # verified exact over the whole boundary domain);
+                            # float sims only for EMITTED pairs — skips two
+                            # full-tile float64 temporaries per tile
+                            mask &= F >= ot
+                            ii, jj = np.nonzero(mask)
+                            if len(ii):
+                                o = F[ii, jj].astype(np.float64)
+                                sim1 = compute_sim(sim_measure_type, o,
+                                                   n1[ii, 0], n2[0, jj])
+                                emit(gl[i0:i1][ii], gr[j0:j1][jj], sim1)
+                        else:
+                            sim = compute_sim(sim_measure_type, F, n1, n2)
+                            mask &= comp_fn(sim, threshold)
+                            ii, jj = np.nonzero(mask)
+                            if len(ii):
+                                emit(gl[i0:i1][ii], gr[j0:j1][jj], sim[ii, jj])
+                    else:
+                        ii, jj = np.nonzero(mask)
+                        li, ri = gl[i0:i1][ii], gr[j0:j1][jj]
+                        ov = _pairs_overlap(li, ri)
+                        sim = compute_sim(sim_measure_type, ov, size[li], size[ri])
+                        keep = comp_fn(sim, threshold)
+                        if keep.any():
+                            emit(li[keep], ri[keep], sim[keep])
 
         for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
             w = ptok[g[0]]
@@ -515,24 +541,28 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 lc = l_loc[i0:i1]
                 L1 = slen[gl[i0:i1]][:, None]
-                L2 = slen[gr][None, :]
-                mask = np.abs(L1 - L2) <= t
-                if triu:
-                    mask &= (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
-                if not mask.any():
-                    continue
-                before = Pb[lc] @ Pb[r_loc].T
-                mask &= before == 0
-                if not mask.any():
-                    continue
-                F = M[lc] @ M[r_loc].T
                 d1 = dsize[gl[i0:i1]][:, None]
-                d2 = dsize[gr][None, :]
-                mask &= F >= np.maximum(d1, d2) - qt
-                ii, jj = np.nonzero(mask)
-                if len(ii):
-                    cand_l.append(gl[i0:i1][ii])
-                    cand_r.append(gr[jj])
+                for j0 in range(0, len(gr), _PAIR_CHUNK_COLS):
+                    j1 = min(j0 + _PAIR_CHUNK_COLS, len(gr))
+                    rc = r_loc[j0:j1]
+                    L2 = slen[gr[j0:j1]][None, :]
+                    mask = np.abs(L1 - L2) <= t
+                    if triu:
+                        mask &= (np.arange(i0, i1)[:, None] <
+                                 np.arange(j0, j1)[None, :])
+                    if not mask.any():
+                        continue
+                    before = Pb[lc] @ Pb[rc].T
+                    mask &= before == 0
+                    if not mask.any():
+                        continue
+                    F = M[lc] @ M[rc].T
+                    d2 = dsize[gr[j0:j1]][None, :]
+                    mask &= F >= np.maximum(d1, d2) - qt
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        cand_l.append(gl[i0:i1][ii])
+                        cand_r.append(gr[j0:j1][jj])
 
         for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
             w = ptok[g[0]]
@@ -643,22 +673,26 @@ def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 lc = l_loc[i0:i1]
-                if triu:
-                    mask = (np.arange(i0, i1)[:, None] < np.arange(len(gr))[None, :])
-                else:
-                    mask = np.ones((i1 - i0, len(gr)), dtype=bool)
-                before = Pb[lc] @ Pb[r_loc].T
-                mask &= before == 0
-                ii, jj = np.nonzero(mask)
-                if len(ii) == 0:
-                    continue
-                li, ri = gl[i0:i1][ii], gr[jj]
-                if filter_type == "position":
-                    pk = _position_bound(li, ri)
-                    li, ri = li[pk], ri[pk]
-                if len(li):
-                    out_l.append(li)
-                    out_r.append(ri)
+                for j0 in range(0, len(gr), _PAIR_CHUNK_COLS):
+                    j1 = min(j0 + _PAIR_CHUNK_COLS, len(gr))
+                    rc = r_loc[j0:j1]
+                    if triu:
+                        mask = (np.arange(i0, i1)[:, None] <
+                                np.arange(j0, j1)[None, :])
+                    else:
+                        mask = np.ones((i1 - i0, j1 - j0), dtype=bool)
+                    before = Pb[lc] @ Pb[rc].T
+                    mask &= before == 0
+                    ii, jj = np.nonzero(mask)
+                    if len(ii) == 0:
+                        continue
+                    li, ri = gl[i0:i1][ii], gr[j0:j1][jj]
+                    if filter_type == "position":
+                        pk = _position_bound(li, ri)
+                        li, ri = li[pk], ri[pk]
+                    if len(li):
+                        out_l.append(li)
+                        out_r.append(ri)
 
         for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
             w = ptok[g[0]]

@@ -118,16 +118,26 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
     done = manifest.completed(fingerprint=fp, version=PIPELINE_VERSION)
     per = num_buckets // pair_partitions
     t0 = time.time()
-    for i in range(pair_partitions):
-        if i in done:
-            continue
+    todo = [i for i in range(pair_partitions) if i not in done]
+    exploded_all = None
+    if len(todo) > 1:
+        # explode ONCE and reuse across partitions (the per-partition join
+        # would otherwise redo tokenize+explode of the full input and keep
+        # only its bucket range)
+        from rayssj.joins import build_set_sim_exploded
+
+        exploded_all = build_set_sim_exploded(
+            extracted, key_col, text_col, tokenizer, "JACCARD", threshold,
+            num_buckets, order)
+    for i in todo:
         lo, hi = i * per, (i + 1) * per if i < pair_partitions - 1 else num_buckets
         part_dir = os.path.join(pairs_root, f"part={i}")
         tpart = time.time()
         pairs = _set_sim_join(
             extracted, None, key_col, key_col, text_col, text_col, tokenizer,
             "JACCARD", threshold, self_join=True, num_buckets=num_buckets,
-            token_order=order, bucket_range=(lo, hi))
+            token_order=order, bucket_range=(lo, hi),
+            prebuilt_exploded=exploded_all)
         _write_atomic(pairs, part_dir)
         manifest.record(i, rows=_rows_in(part_dir), fingerprint=fp,
                         version=PIPELINE_VERSION, wall_s=time.time() - tpart)

@@ -249,6 +249,26 @@ class DelimiterTokenizer(_BaseTokenizer):
             return _convert_to_set(toks)
         return toks
 
+    def tokenize_batch(self, arr) -> pa.ListArray:
+        """Vectorized: plain split for a single delimiter, RE2 alternation
+        (longest-delimiter-first, matching the scalar path) otherwise."""
+        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            arr = pa.array(arr, type=pa.string())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        filled = arr.fill_null("")
+        if len(self.delim_set) == 1:
+            split = pc.split_pattern(filled, next(iter(self.delim_set)))
+        else:
+            pat = "|".join(re.escape(d)
+                           for d in sorted(self.delim_set, key=len, reverse=True))
+            split = pc.split_pattern_regex(filled, pat)
+        split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+        out = _filter_empty_tokens(split)
+        if self.return_set:
+            out = _dedup_list_array(out)
+        return _mask_nulls(arr, out)
+
 
 class _RegexFindallTokenizer(_BaseTokenizer):
     _pattern: str = ""

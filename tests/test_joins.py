@@ -193,3 +193,15 @@ def test_validation_errors():
     num["num"] = 1
     with pytest.raises(AssertionError):
         jaccard_join(num, B, "ID", "ID", "num", "name", tok, 0.5)
+
+
+def test_out_id_dense():
+    """out_id=True prepends a dense 0..n-1 _id column (reference-shaped)."""
+    A, B = make_tables(with_edge_cases=False)
+    out = jaccard_join(A, B, "ID", "ID", "name", "name",
+                       WhitespaceTokenizer(), 0.3, out_id=True).to_pandas()
+    assert list(out.columns)[0] == "_id"
+    assert sorted(out["_id"]) == list(range(len(out)))
+    base = jaccard_join(A, B, "ID", "ID", "name", "name",
+                        WhitespaceTokenizer(), 0.3).to_pandas()
+    assert len(base) == len(out) > 0

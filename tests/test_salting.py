@@ -87,7 +87,10 @@ def test_salt_cells_cover_each_pair_once():
             ptok = np.array([0, 0], dtype=np.int64)
             row_ids = np.array([0, 1], dtype=np.int64)
             keyhash = rng.integers(0, 2**40, size=2).astype(np.int64)
-            rep, grp, out_side = JJ._salt_cells(ptok, row_ids, keyhash, counts,
+            # _salt_cells now takes the PRE-GATHERED per-row df (works for
+            # both TokenOrder and HashedTokenOrder)
+            rep, grp, out_side = JJ._salt_cells(ptok, row_ids, keyhash,
+                                                counts[ptok],
                                                 side=0, self_mode=True)
             cells_a = [(g, s) for g, s, r in zip(grp, out_side, rep) if r == 0]
             cells_b = [(g, s) for g, s, r in zip(grp, out_side, rep) if r == 1]

@@ -60,6 +60,9 @@ def test_qgram_scalar_semantics(q, padding, return_set):
     lambda rs: WhitespaceTokenizer(rs),
     lambda rs: AlphabeticTokenizer(rs),
     lambda rs: AlphanumericTokenizer(rs),
+    lambda rs: DelimiterTokenizer({",", " "}, return_set=rs),
+    lambda rs: DelimiterTokenizer({"##"}, return_set=rs),
+    lambda rs: DelimiterTokenizer({"|", "##", "#"}, return_set=rs),
 ])
 @pytest.mark.parametrize("return_set", [True, False])
 def test_batch_matches_scalar(mk, return_set):
