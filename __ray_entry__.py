@@ -365,8 +365,47 @@ pairs AS (SELECT la, rb, o, sa.n n1, sb.n n2
 """
 
 
+def _langid_sql() -> str:
+    """DuckDB replica of rayssj.textstats.LangIdScorer: same RE2 patterns
+    (regexp_extract_all ≡ pc.count_substring_regex), same first-max
+    tie-break over alphabetically-ordered languages."""
+    from rayssj.textstats import _CJK_PATTERN, _LANG_STOPWORDS, _WORD_PATTERN
+
+    langs = sorted(_LANG_STOPWORDS)
+    hit_cols = ",\n         ".join(
+        "len(regexp_extract_all(lower(text), '\\b(?:"
+        + "|".join(sorted(_LANG_STOPWORDS[lg])) + ")\\b')) AS h_" + lg
+        for lg in langs)
+    ratio_cols = ", ".join(
+        f"h_{lg} * 1.0 / greatest(words, 1) AS r_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"r_{lg}" for lg in langs) + ")"
+    # first max wins, langs in alphabetical order (numpy argmax semantics)
+    pred_cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"r_{lg} >= r_{other}" for other in langs[i + 1:]]
+        pred_cases.append(("WHEN " + " AND ".join(conds) + f" THEN '{lg}'")
+                          if conds else f"ELSE '{lg}'")
+    pred = "\n            ".join(pred_cases)
+    return f"""WITH t AS (
+  SELECT doc_id, length(text) AS L,
+         len(regexp_extract_all(text, '{_CJK_PATTERN}')) AS cjk,
+         len(regexp_extract_all(lower(text), '{_WORD_PATTERN}')) AS words,
+         {hit_cols}
+  FROM documents),
+r AS (SELECT doc_id, L, cjk, words, {ratio_cols} FROM t)
+SELECT doc_id,
+  CASE WHEN cjk * 2 > L * 0.1 THEN 'zh'
+       WHEN words = 0 OR {best} <= 0 THEN 'und'
+       ELSE CASE {pred} END END AS lang_pred,
+  CASE WHEN cjk * 2 > L * 0.1 THEN 1.0
+       WHEN words = 0 OR {best} <= 0 THEN 0.0
+       ELSE {best} END AS lang_score
+FROM r"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "langid": _langid_sql(),
         "jaccard_ws": _set_sim_sql("o * 1.0 / (n1 + n2 - o)",
                                    "o * 1.0 / (n1 + n2 - o) >= 0.5"),
         "cosine_ws": _set_sim_sql("o / sqrt(n1 * 1.0 * n2)",

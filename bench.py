@@ -81,6 +81,25 @@ def run_bench() -> dict:
     pairs["minhash_lsh"] = p.count()
     timings["minhash_lsh"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    from rayssj.textstats import LangIdScorer, TokenCounter, quality_stats_batch
+
+    stats_ds = (docs()
+                .map_batches(quality_stats_batch, batch_format="pyarrow")
+                .map_batches(TokenCounter, batch_format="pyarrow", concurrency=4)
+                .map_batches(LangIdScorer, batch_format="pyarrow", concurrency=4))
+    pairs["textstats_rows"] = stats_ds.count()
+    timings["textstats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from rayssj.dedup import embedding_cosine_pairs
+
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    p = embedding_cosine_pairs(embs, "vec_id", "embedding", threshold=0.8)
+    pairs["embedding_pairs"] = p.count()
+    timings["embedding_pairs"] = round(time.time() - t0, 3)
+
     # headline: full linkage — block+score (jaccard 0.9) then transitive closure
     t0 = time.time()
     p = jaccard_join(docs(), None, "doc_id", "doc_id", "text", "text",

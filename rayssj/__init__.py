@@ -36,7 +36,7 @@ from rayssj.converter import dataframe_column_to_str, series_to_str
 from rayssj.cluster import connected_components
 from rayssj.extract import extract_stage, extract_text
 from rayssj.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs, embedding_cosine_pairs
-from rayssj.ann import knn_cosine
+from rayssj.ann import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
 
 __all__ = [
     "QgramTokenizer",
@@ -68,4 +68,6 @@ __all__ = [
     "simhash_pairs",
     "embedding_cosine_pairs",
     "knn_cosine",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
 ]

@@ -89,6 +89,69 @@ def knn_cosine(ds, queries: np.ndarray, key_col: str, emb_col: str = "embedding"
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def _spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Cosine k-means on a bounded sample: assign to argmax dot, recenter to
+    the normalized mean; empty clusters re-seeded deterministically."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(sample.astype(np.float32))
+    k = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+            else:
+                cent[c] = m[rng.integers(0, len(m))]
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_cosine_ivf(ds, queries: np.ndarray, key_col: str,
+                   emb_col: str = "embedding", k: int = 10,
+                   n_centroids: int = 64, n_probe: int = 8,
+                   sample_size: int = 100_000, kmeans_iters: int = 10,
+                   seed: int = 42, concurrency=(1, 8)):
+    """IVF ANN (scale path): a coarse spherical-k-means quantizer is trained
+    on a BOUNDED random sample (driver-side numpy — the only non-distributed
+    step, capped by ``sample_size``); rows are pre-filtered to the union of
+    each query's ``n_probe`` nearest centroid cells inside ``map_batches``
+    (broadcast centroids, vectorized argmax per batch), then scored by the
+    exact batch-local top-k reduction of :func:`knn_cosine`. Approximate by
+    construction — recall grows with ``n_probe``; ``n_probe >= n_centroids``
+    degrades to exact brute force."""
+    ds = _as_dataset(ds)
+    n = ds.count()
+    if n == 0:
+        return knn_cosine(ds, queries, key_col, emb_col, k, concurrency)
+    frac = min(1.0, sample_size / n)
+    sample_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    sample = np.stack([np.asarray(r[emb_col], dtype=np.float32)
+                       for r in sample_ds.select_columns([emb_col]).take_all()])
+    cent = _spherical_kmeans(sample, n_centroids, kmeans_iters, seed)
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    n_probe = min(n_probe, len(cent))
+    probe = np.unique(
+        np.argpartition(-(q @ cent.T), kth=n_probe - 1, axis=1)[:, :n_probe])
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(probe)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        if m.size == 0:
+            return batch
+        cell = (m @ ray.get(cent_ref).T).argmax(axis=1)
+        keep = np.isin(cell, ray.get(probe_ref))
+        return batch.filter(pa.array(keep))
+
+    filtered = ds.select_columns([key_col, emb_col]).map_batches(
+        prefilter, batch_format="pyarrow")
+    return knn_cosine(filtered, queries, key_col, emb_col, k, concurrency)
+
+
 def knn_cosine_lsh(ds, queries: np.ndarray, key_col: str,
                    emb_col: str = "embedding", k: int = 10, n_planes: int = 4,
                    n_probe_bits: int = 1, seed: int = 42, concurrency=(1, 8)):

@@ -35,9 +35,10 @@ from rayssj.kernels import make_edit_distance_bucket_kernel, make_set_sim_bucket
 from rayssj.ordering import TOKENS_COL, build_token_order
 from rayssj.validation import validate_join_inputs
 
-DEFAULT_NUM_BUCKETS = 256  # fine-grained shuffle keys: many buckets per hash
-                           # partition balance kernel-task loads (64 buckets
-                           # over 32 partitions measured lumpy -> stragglers)
+DEFAULT_NUM_BUCKETS = 64   # heavy rank-payload rows ship once per
+                           # (record, bucket): raising buckets to 256 for
+                           # finer load balancing 4x'd the shuffle payload
+                           # and cost ~40% at 32 CPUs — measured, reverted
 
 
 def join_num_partitions() -> int:

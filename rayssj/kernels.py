@@ -166,12 +166,13 @@ def _split_heavy_light(tbl: pa.Table):
 
 
 _MATRIX_GROUP_MIN = 8     # below this, per-pair intersect beats matmul setup
-# 2-D pair tiles: a 512x1024 int32 temp is ~2 MB, so the whole mask chain's
-# temporaries stay in L2/L3 per core instead of streaming through DRAM —
-# with 32 concurrent kernel workers the mask chain is memory-bandwidth
-# bound, and tile residency is what buys 8->32-core scaling
-_PAIR_CHUNK_ROWS = 512    # l-rows per pair tile
-_PAIR_CHUNK_COLS = 1024   # r-rows per pair tile
+# Pair chunking is 1-D (l-rows only): an A/B sweep at 32 CPUs measured 2-D
+# L2-sized tiles (512x1024) ~30% SLOWER end-to-end than full-width chunks —
+# BLAS blocks the GEMM internally, and small tiles just add per-tile numpy
+# call overhead and shrink GEMM efficiency. 512 rows beat 1024 (t_32 36.6s
+# vs 41.0s, best-of-2, same input).
+_PAIR_CHUNK_ROWS = 512    # l-rows per pair chunk
+_PAIR_CHUNK_COLS = 1 << 30  # effectively unbounded: full r-width per chunk
 _MATMUL_DENSITY = 0.05    # survivor density above which full-matmul overlap wins
 
 _OT_LUT_CACHE: dict = {}

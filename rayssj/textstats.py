@@ -67,7 +67,8 @@ class LangIdScorer:
         lang_arr = np.array(langs, dtype=object)[best] if n else np.array([], dtype=object)
         und = (best_score <= 0) | (words == 0)
         lang_arr = np.where(und, "und", lang_arr)
-        score = np.where(und, 0.0, np.round(best_score, 6))
+        # no rounding: score must hash-match the SQL oracle's raw division
+        score = np.where(und, 0.0, best_score)
         is_cjk = cjk * 2 > n_chars * 0.1
         lang_arr = np.where(is_cjk, "zh", lang_arr)
         score = np.where(is_cjk, 1.0, score)

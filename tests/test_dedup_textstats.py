@@ -202,6 +202,37 @@ def test_ann_topk_matches_bruteforce():
         assert got == expect
 
 
+def test_ann_ivf_recall():
+    """IVF probes a subset of centroid cells; with full probing it is exact,
+    with partial probing recall stays high on clustered data."""
+    import ray.data as rd
+
+    from rayssj.ann import knn_cosine, knn_cosine_ivf
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 4
+    emb = np.concatenate([c + rng.standard_normal((40, 16)).astype(np.float32)
+                          for c in centers])
+    df = pd.DataFrame({"vec_id": range(len(emb)),
+                       "embedding": [list(map(float, v)) for v in emb]})
+    ds = rd.from_pandas(df)
+    q = emb[[3, 50, 200]]
+    exact = knn_cosine(ds, q, "vec_id", "embedding", k=5).to_pandas()
+    full = knn_cosine_ivf(ds, q, "vec_id", "embedding", k=5, n_centroids=8,
+                          n_probe=8, sample_size=500).to_pandas()
+    pd.testing.assert_frame_equal(
+        exact.sort_values(["query_id", "key"], ignore_index=True),
+        full.sort_values(["query_id", "key"], ignore_index=True))
+    part = knn_cosine_ivf(ds, q, "vec_id", "embedding", k=5, n_centroids=8,
+                          n_probe=3, sample_size=500).to_pandas()
+    hits = 0
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["key"])
+        p = set(part[part["query_id"] == qi]["key"])
+        hits += len(e & p)
+    assert hits >= 12  # >= 80% recall with 3/8 cells probed
+
+
 def test_quality_and_token_stats():
     import pyarrow as pa
 
