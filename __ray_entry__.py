@@ -216,6 +216,23 @@ def _q_ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "key"])
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF ANN with FULL probing (n_probe == n_centroids): exact by
+    construction, so the brute-force SQL oracle verifies the whole IVF
+    machinery (k-means training, cell assignment, prefilter, scoring).
+    Partial probing — the actual scale knob — is recall-tested in pytest."""
+    from rayssj.ann import knn_cosine_ivf
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    queries = np.array(emb["embedding"].to_pylist()[:5], dtype=np.float32)
+    out = knn_cosine_ivf(_embs(sf_dir), queries, "vec_id", "embedding", k=10,
+                         n_centroids=16, n_probe=16, sample_size=2000)
+    return out.select_columns(["query_id", "key"])
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: documents text bytes as opaque media payloads →
     stubbed decode/feature/resize stages (schema + batching are real)."""
@@ -330,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_pairs": _q_embedding_pairs,
         "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
         "cluster_components": _q_cluster,
         "media_features": _q_media_features,
         "sample_pairs": _q_sample_pairs,
@@ -508,6 +526,16 @@ cc(node, comp) AS (
     SELECT e.b, cc.comp FROM cc JOIN edges e ON e.a = cc.node
 )
 SELECT node, min(comp) AS component FROM cc GROUP BY node""",
+        "ann_ivf": """WITH q AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (SELECT q.query_id, e.vec_id AS key,
+                  list_cosine_similarity(q.qe, e.embedding) AS s
+           FROM q CROSS JOIN embeddings e),
+ranked AS (SELECT query_id, key,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, key) rn
+           FROM scored)
+SELECT query_id, key FROM ranked WHERE rn <= 10""",
         "ann_topk": """WITH q AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe
   FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -96,7 +96,7 @@ def run_bench() -> dict:
 
     embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"])
-    p = embedding_cosine_pairs(embs, "vec_id", "embedding", threshold=0.8)
+    p = embedding_cosine_pairs(embs, "vec_id", "embedding", threshold=0.4)
     pairs["embedding_pairs"] = p.count()
     timings["embedding_pairs"] = round(time.time() - t0, 3)
 

@@ -113,7 +113,7 @@ class _BaseFilter:
         from rayssj.joins import _empty_pairs_output, _probe_empty
         from rayssj.validation import _schema_of
 
-        if _probe_empty(l_ds) or (not self_join and _probe_empty(r_ds)):
+        if _probe_empty(l_raw) or (not self_join and _probe_empty(r_raw)):
             return _empty_pairs_output(_schema_of(l_raw), _schema_of(r_raw),
                                        l_key_attr, r_key_attr, l_out_attrs,
                                        r_out_attrs, l_out_prefix, r_out_prefix,
@@ -245,7 +245,7 @@ class SizeFilter(_SimMeasureFilter):
         from rayssj.joins import _empty_pairs_output, _probe_empty
         from rayssj.validation import _schema_of
 
-        if _probe_empty(l_ds) or (not self_join and _probe_empty(r_ds)):
+        if _probe_empty(l_raw) or (not self_join and _probe_empty(r_raw)):
             return _empty_pairs_output(_schema_of(l_raw), _schema_of(r_raw),
                                        l_key_attr, r_key_attr, l_out_attrs,
                                        r_out_attrs, l_out_prefix, r_out_prefix,

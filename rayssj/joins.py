@@ -165,9 +165,12 @@ def _maybe_cache(tok_ds, src_ds):
 
 
 def _use_hash_shuffle():
-    """Hash-partitioned shuffle for the bucket groupbys: measured 3x faster
-    than the sort-based default on wide exploded payloads (no need to sort
-    list columns just to co-group)."""
+    """Set GLOBAL shuffle knobs: hash shuffle for Dataset.join / small
+    co-group ops + fractional aggregator reservations. The bucket groupby
+    itself pins SORT on its own dataset context (see _bucket_groupby) —
+    measured faster at 32 CPUs on the wide exploded payload. NOTE:
+    DataContext is snapshotted per dataset at creation, so this global call
+    only affects datasets created afterwards."""
     try:
         from ray.data.context import DataContext, ShuffleStrategy
 
@@ -192,7 +195,20 @@ def _use_hash_shuffle():
 
 
 def _bucket_groupby(exploded):
-    _use_hash_shuffle()
+    _use_hash_shuffle()  # global knobs for ops created later (joins etc.)
+    # Pin SORT-based shuffle for the bucket groupby on THIS dataset's captured
+    # context: DataContext is snapshotted per dataset at creation, so the
+    # strategy actually used depended on creation order relative to the first
+    # join call (nondeterministic across query sequences). Measured at 32
+    # CPUs on the scaling input: sort 42s vs hash 90s end-to-end — the hash
+    # aggregators sort each partition anyway (finalize sort_by) and their
+    # actors contend with the kernel tasks.
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        exploded.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    except Exception:
+        pass
     return exploded.groupby("bucket", num_partitions=join_num_partitions())
 
 
@@ -206,6 +222,16 @@ def hash_join(left, right, on, right_on, join_type="inner"):
     starve a small cluster outright (observed: 20 actors pinning all 4 test
     CPUs, pipeline deadlocked)."""
     _use_hash_shuffle()
+    # pin the fractional-aggregator knobs on the operands' CAPTURED contexts
+    # (per-dataset snapshots; the global setting misses pre-created datasets)
+    for ds in (left, right):
+        try:
+            ctx = ds.context
+            ctx.join_operator_actor_num_cpus_per_partition_override = 0.05
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+            ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+        except Exception:
+            pass
     return left.join(right, join_type, num_partitions=join_num_partitions(),
                      on=on, right_on=right_on,
                      aggregator_ray_remote_args=dict(_AGG_REMOTE_ARGS))
@@ -613,7 +639,7 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                          sim_measure_type, l_out_attrs, r_out_attrs)
     l_ds = _ensure_parallel(l_raw)
     r_ds = l_ds if self_join else _ensure_parallel(r_raw)
-    if _probe_empty(l_ds) or (not self_join and _probe_empty(r_ds)):
+    if _probe_empty(l_raw) or (not self_join and _probe_empty(r_raw)):
         from rayssj.validation import _schema_of
 
         return _empty_pairs_output(_schema_of(l_raw), _schema_of(r_raw),
@@ -820,7 +846,7 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                          fu.EDIT_DISTANCE, l_out_attrs, r_out_attrs)
     l_ds = _ensure_parallel(l_raw)
     r_ds = l_ds if self_join else _ensure_parallel(r_raw)
-    if _probe_empty(l_ds) or (not self_join and _probe_empty(r_ds)):
+    if _probe_empty(l_raw) or (not self_join and _probe_empty(r_raw)):
         from rayssj.validation import _schema_of
 
         return _empty_pairs_output(_schema_of(l_raw), _schema_of(r_raw),
