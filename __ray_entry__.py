@@ -103,6 +103,18 @@ def _q_size_filter(sf_dir: str):
                            "text", self_join=True)
 
 
+def _q_suffix_filter(sf_dir: str):
+    """Prefix-blocked candidates refined by the PPJoin+ suffix Hamming bound.
+    The recursive depth-bounded bound isn't SQL-expressible (rows-only check);
+    completeness vs the exact join is property-tested in pytest."""
+    from rayssj.filters import SuffixFilter
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    f = SuffixFilter(WhitespaceTokenizer(), "JACCARD", 0.9)
+    return f.filter_tables(_docs(sf_dir), None, "doc_id", "doc_id", "text",
+                           "text", self_join=True)
+
+
 def _q_apply_matcher(sf_dir: str):
     from rayssj.filters import OverlapFilter
     from rayssj.matcher import apply_matcher
@@ -335,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_filter": _q_prefix_filter,
         "size_filter": _q_size_filter,
         "position_filter": _q_position_filter,
+        "suffix_filter": _q_suffix_filter,
         "apply_matcher": _q_apply_matcher,
         "profile_documents": _q_profile,
         "exact_dedup": _q_exact_dedup,

@@ -57,8 +57,11 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
                 text_col: str = "text", html_col: str = "html",
                 threshold: float = 0.8, tokenizer=None,
                 extract_partitions: int = 8, pair_partitions: int = 4,
-                num_buckets: int = 64) -> dict:
-    """Run (or resume) the full linkage pipeline; returns stage summary."""
+                num_buckets: int = 64, order_mode: str = "auto") -> dict:
+    """Run (or resume) the full linkage pipeline; returns stage summary.
+
+    ``order_mode``: "auto" (driver TokenOrder below the vocab threshold,
+    distributed HashedTokenOrder above), or force "driver"/"hashed"."""
     import ray.data as rd
 
     from rayssj.cluster import connected_components
@@ -103,13 +106,18 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
     else:
         tok_ds = _tokenize_stage(extracted, key_col, text_col, tk,
                                  keep_string=False)
-        # driver mode: this stage persists the (token, cnt) table to parquet
-        # for resume, which needs the token strings on the driver
-        order = build_token_order(tok_ds, mode="driver")
-        pq.write_table(pa.table({"token": pa.array(list(order.index)),
-                                 "cnt": pa.array(order.counts)}), order_path)
-        json.dump({"fingerprint": fp, "n_empty": order.n_empty,
-                   "n_missing": order.n_missing}, open(meta_path, "w"))
+        # auto mode: small vocabularies come back as a driver TokenOrder and
+        # are persisted to parquet for resume; web-scale vocabularies come
+        # back as a distributed HashedTokenOrder, which is NOT persisted —
+        # the ordering is a deterministic pure function of the (manifested)
+        # extracted input, so a resumed run recomputes it in one pass and the
+        # pairs-stage manifests stay valid
+        order = build_token_order(tok_ds, mode=order_mode)
+        if isinstance(order, TokenOrder):
+            pq.write_table(pa.table({"token": pa.array(list(order.index)),
+                                     "cnt": pa.array(order.counts)}), order_path)
+            json.dump({"fingerprint": fp, "n_empty": order.n_empty,
+                       "n_missing": order.n_missing}, open(meta_path, "w"))
     summary["vocab"] = len(order)
 
     # ---- stage 3: pairs (bucket-range partitioned, resumable) ---------------

@@ -66,3 +66,26 @@ def test_linkage_matches_direct_join(tmp_path):
     got_set = set(zip(all_pairs["l_url"], all_pairs["r_url"]))
     want_set = set(zip(direct["l_url"], direct["r_url"]))
     assert got_set == want_set
+
+
+def test_linkage_hashed_order_same_pairs(tmp_path):
+    """order_mode='hashed' (web-scale vocabulary path, no driver vocab, no
+    parquet persistence) produces the identical pair set."""
+    from rayssj.pipelines import linkage_run
+
+    path, pages = _write_pages(tmp_path)
+    out_a = str(tmp_path / "out_driver")
+    out_b = str(tmp_path / "out_hashed")
+    linkage_run(path, out_a, threshold=0.6, extract_partitions=2,
+                pair_partitions=2, order_mode="driver")
+    linkage_run(path, out_b, threshold=0.6, extract_partitions=2,
+                pair_partitions=2, order_mode="hashed")
+    assert not os.path.exists(os.path.join(out_b, "token_order.parquet"))
+
+    def pair_set(root):
+        frames = [pq.read_table(f).to_pandas() for f in
+                  glob.glob(os.path.join(root, "pairs", "part=*", "*.parquet"))]
+        df = pd.concat(frames, ignore_index=True)
+        return set(zip(df["l_url"], df["r_url"], df["_sim_score"]))
+
+    assert pair_set(out_a) == pair_set(out_b) and len(pair_set(out_a)) > 0
