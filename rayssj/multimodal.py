@@ -118,6 +118,46 @@ class FrameSampler:
             f"{self.col}_frames", pa.array(frames, type=pa.list_(pa.binary())))
 
 
+class AudioFeatureExtractor:
+    """Actor-pool stage: binary audio column → fixed-dim feature vector +
+    (sample_rate, duration_s) metadata (fake: hash-derived features, duration
+    from byte length at the nominal rate; real path would use
+    torchaudio/librosa)."""
+
+    def __init__(self, col: str = "audio", dim: int = 32,
+                 sample_rate: int = 16_000, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise AssertionError("decoder must be 'fake' or 'real'")
+        if decoder == "real":
+            _require_real_decoder("audio")
+        self.col = col
+        self.dim = dim
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch[self.col]
+        data = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
+        h = stable_hash64(data.cast(pa.large_binary())).to_numpy(zero_copy_only=False)
+        n = len(h)
+        feats = np.empty((n, self.dim), dtype=np.float32)
+        for i, seed in enumerate(h.view(np.uint64)):
+            feats[i] = np.random.default_rng(seed).standard_normal(
+                self.dim, dtype=np.float32)
+        lens = np.array([len(v) if v is not None else 0
+                         for v in data.to_pylist()], dtype=np.int64)
+        # fake 16-bit mono PCM: 2 bytes per sample at the nominal rate
+        duration = lens / (2.0 * self.sample_rate)
+        offs = np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int64)
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offs), pa.array(feats.reshape(-1).astype(np.float64)))
+        return (batch.append_column(f"{self.col}_feat", lst)
+                     .append_column(f"{self.col}_sample_rate",
+                                    pa.array(np.full(n, self.sample_rate,
+                                                     dtype=np.int32)))
+                     .append_column(f"{self.col}_duration_s",
+                                    pa.array(duration)))
+
+
 def media_pipeline(ds, image_col: str = "image", batch_size: int = 64,
                    concurrency=2, dim: int = 64):
     """Reference composition: feature-extract then resize, actor pools with

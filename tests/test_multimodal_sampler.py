@@ -53,10 +53,31 @@ def test_frame_sampler():
 
 
 def test_real_decoder_clearly_stubbed():
-    from rayssj.multimodal import ImageFeatureExtractor
+    from rayssj.multimodal import (
+        AudioFeatureExtractor,
+        FrameSampler,
+        ImageFeatureExtractor,
+    )
 
-    with pytest.raises(NotImplementedError):
-        ImageFeatureExtractor(decoder="real")
+    for cls in (ImageFeatureExtractor, AudioFeatureExtractor, FrameSampler):
+        with pytest.raises(NotImplementedError):
+            cls(decoder="real")
+
+
+def test_audio_feature_extractor():
+    import pyarrow as pa
+
+    from rayssj.multimodal import AudioFeatureExtractor
+
+    batch = pa.table({"audio": [b"\x01\x02" * 16_000, b"", None]})
+    out = AudioFeatureExtractor(col="audio", dim=8)(batch)
+    feats = out["audio_feat"].to_pylist()
+    assert len(feats[0]) == 8
+    assert out["audio_duration_s"].to_pylist()[0] == 1.0  # 32k bytes @16kHz
+    assert out["audio_sample_rate"].to_pylist() == [16_000] * 3
+    # deterministic: same payload → same features
+    out2 = AudioFeatureExtractor(col="audio", dim=8)(batch)
+    assert out2["audio_feat"].to_pylist() == feats
 
 
 def test_sample_pairs():
