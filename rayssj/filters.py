@@ -268,6 +268,7 @@ class SizeFilter(_SimMeasureFilter):
             idx = np.nonzero(mask)[0]
             return pa.table({"gsize": pa.array(sizes[idx]),
                              "side": pa.array(np.ones(len(idx), dtype=np.int8)),
+                             "sz": pa.array(sizes[idx]),
                              "key": keys.take(pa.array(idx))})
 
         # NOTE: the l-side size explosion upper bound is clamped per batch to the
@@ -293,6 +294,7 @@ class SizeFilter(_SimMeasureFilter):
             keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
             return pa.table({"gsize": pa.array(tgt),
                              "side": pa.array(np.zeros(len(tgt), dtype=np.int8)),
+                             "sz": pa.array(sizes[row_ids]),
                              "key": keys.take(pa.array(row_ids))})
 
         # global max r-size bounds the explosion exactly
@@ -306,6 +308,7 @@ class SizeFilter(_SimMeasureFilter):
         r_sz = r_clean.map_batches(r_emit, batch_format="pyarrow")
 
         self_mode = self_join
+        cap_val = int(self._global_max_size) if self._global_max_size is not None else None
 
         def pair_kernel(tbl: pa.Table) -> pa.Table:
             keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
@@ -316,6 +319,25 @@ class SizeFilter(_SimMeasureFilter):
                               "r_key": pa.array([], type=keys.type)})
             if len(gl) == 0 or len(gr) == 0:
                 return empty
+            if self_mode:
+                # emit-at-min-size-group rule (no global dedup shuffle): a
+                # self-join pair with sizes (sl, g) is also generated in
+                # group sl when g's explode range covers sl — emit it HERE
+                # only when this group is the smaller one or the only one
+                g = int(tbl["gsize"][0].as_py())
+                sl = tbl["sz"].to_numpy(zero_copy_only=False)[gl]
+                ga = np.array([g], dtype=np.int64)
+                lb_g = int(fu.get_size_lower_bound(ga, measure, threshold)[0])
+                ub_g = int(fu.get_size_upper_bound(ga, measure, threshold)[0])
+                if cap_val is not None:
+                    ub_g = min(ub_g, cap_val)
+                if not allow_empty:
+                    lb_g = max(lb_g, 1)
+                other_has_it = (sl >= lb_g) & (sl <= ub_g)
+                keep_l = (np.int64(g) <= sl) | ~other_has_it
+                gl = gl[keep_l]
+                if len(gl) == 0:
+                    return empty
             li = np.repeat(gl, len(gr))
             ri = np.tile(gr, len(gl))
             lk = keys.take(pa.array(li))
@@ -326,18 +348,13 @@ class SizeFilter(_SimMeasureFilter):
                 swap = pc.greater(lk, rk)
                 lk, rk = pc.if_else(swap, rk, lk), pc.if_else(swap, lk, rk)
                 tb = pa.table({"l_key": lk, "r_key": rk})
-                # self-join emits each unordered pair once per (l-size,r-size)
-                # group direction; dedup within group
+                # same-size pairs appear as (x,y) AND (y,x) within this group
                 df = tb.to_pandas().drop_duplicates()
                 return pa.Table.from_pandas(df, preserve_index=False)
             return pa.table({"l_key": lk, "r_key": rk})
 
         pairs = l_sz.union(r_sz).groupby("gsize").map_groups(
             pair_kernel, batch_format="pyarrow")
-        if self_mode:
-            # sizes (a,b) and (b,a) both generate the pair → global dedup
-            pairs = pairs.groupby(["l_key", "r_key"]).map_groups(
-                lambda df: df.head(1), batch_format="pandas")
         if self.allow_missing:
             for tbl in _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
                 pairs = pairs.union(rd.from_arrow(tbl.drop_columns(["_sim_score"])))
