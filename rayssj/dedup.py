@@ -36,6 +36,17 @@ def _empty_pairs(ds, key_col: str):
         ("_sim_score", pa.float64())]).empty_table())
 
 
+def _splitmix_u64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 avalanche (bounded-partition shuffle keys)."""
+    v = v + np.uint64(0x9E3779B97F4A7C15)
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    return v
+
+
 def _scrub_blocks(ds, batch_size: int = 65536):
     """Purge zero-schema empty blocks from a Dataset.
 
@@ -54,29 +65,43 @@ def _scrub_blocks(ds, batch_size: int = 65536):
 # ---------------------------------------------------------------- exact dedup
 
 
-def exact_dedup(ds, text_col: str, key_col: str):
+def exact_dedup(ds, text_col: str, key_col: str, num_partitions: int | None = None):
     """Keep one row (min key) per distinct text value.
 
-    hash(text) added per batch (vectorized) → groupby(hash) →
-    per-group min-key winner; full text compared inside the group so hash
-    collisions cannot merge distinct texts.
+    Per-batch combiner (local min-key dedup, vectorized hash) →
+    groupby(hash(text) % P) → per-PARTITION pandas dedup. Grouping by the
+    partition id instead of the raw hash bounds the group count at P — a
+    groupby on the hash itself would dispatch one pandas UDF call per
+    DISTINCT TEXT (billions at web scale). Full text is compared inside the
+    partition, so hash collisions cannot merge distinct texts.
     """
     ds = _as_dataset(ds)
     if _probe_empty(ds):  # all-empty groupby input crashes Ray's hash shuffle
         return ds
+    from rayssj.joins import join_num_partitions
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    P = num_partitions or join_num_partitions() * 4
+
+    def combine(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return batch.append_column("__h", stable_hash64(col.fill_null("")))
+        h = stable_hash64(col.fill_null(""))
+        part = (h.to_numpy(zero_copy_only=False).view(np.uint64)
+                % np.uint64(P)).astype(np.int64)
+        batch = batch.append_column("__part", pa.array(part))
+        # local combiner: one min-key survivor per distinct text per batch
+        df = batch.to_pandas()
+        df = (df.sort_values(key_col, kind="mergesort")
+                .drop_duplicates(subset=[text_col], keep="first"))
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(key_col, kind="mergesort")
                  .drop_duplicates(subset=[text_col], keep="first"))
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("__h").map_groups(keep_first, batch_format="pandas")
-              .drop_columns(["__h"]))
+    return (ds.map_batches(combine, batch_format="pyarrow")
+              .groupby("__part").map_groups(dedup_partition, batch_format="pandas")
+              .drop_columns(["__part"]))
 
 
 # ------------------------------------------------------------------- shingles
@@ -180,6 +205,10 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
                                    shingle_k=shingle_k, seed=seed),
         concurrency=concurrency)
 
+    from rayssj.joins import join_num_partitions
+
+    n_parts = join_num_partitions() * 4
+
     def explode_bands(batch: pa.Table) -> pa.Table:
         values, lengths = _list_parts(batch["minhash"])
         n = len(lengths)
@@ -196,16 +225,27 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
         row_ids = np.repeat(np.arange(n, dtype=np.int64), bands)
         band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
         lst = batch["minhash"].combine_chunks() if isinstance(batch["minhash"], pa.ChunkedArray) else batch["minhash"]
+        bh_flat = bh.reshape(-1)
+        # BOUNDED shuffle key: group by hash(band, bh) % P and iterate the
+        # buckets inside the kernel — a groupby on the raw bucket id would
+        # dispatch one UDF call per bucket (~n_docs x bands mostly-singleton
+        # groups at web scale)
+        mixed = _splitmix_u64(bh_flat ^ (np.uint64(0x9E3779B97F4A7C15) *
+                                         band_ids.view(np.uint64)))
+        part = (mixed % np.uint64(n_parts)).astype(np.int64)
         return pa.table({
+            "part": pa.array(part),
             "band": pa.array(band_ids),
-            "bh": pa.array(bh.reshape(-1).view(np.int64)),
+            "bh": pa.array(bh_flat.view(np.int64)),
             "key": keys.take(pa.array(row_ids)),
             "minhash": lst.take(pa.array(row_ids)),
         })
 
     exploded = sketched.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_kernel(tbl: pa.Table) -> pa.Table:
+    def partition_kernel(tbl: pa.Table) -> pa.Table:
+        """One hash PARTITION of (band, bh) buckets: iterate buckets locally
+        (numpy boundary scan) and run the pair logic per bucket."""
         keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
         empty = pa.table({"l_key": pa.array([], type=keys.type),
                           "r_key": pa.array([], type=keys.type),
@@ -213,25 +253,44 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
         n = tbl.num_rows
         if n < 2:
             return empty
-        band = int(tbl["band"][0].as_py())
+        band_all = tbl["band"].to_numpy(zero_copy_only=False)
+        bh_all = tbl["bh"].to_numpy(zero_copy_only=False)
         values, lengths = _list_parts(tbl["minhash"])
-        mh = values.to_numpy(zero_copy_only=False).view(np.uint64).reshape(n, num_perm)
-        iu, ju = np.triu_indices(n, k=1)
-        eq = mh[iu] == mh[ju]                       # (pairs, num_perm)
-        est = eq.mean(axis=1)
-        # first-colliding-band rule: a pair collides in band b iff ALL slots
-        # of that band match; emit only when THIS band is the first such band
-        # (argmax of a bool matrix = index of the first True)
-        band_eq = eq.reshape(len(iu), bands, rows_per_band).all(axis=2)
-        first_band = band_eq.argmax(axis=1)
-        keep = band_eq[:, band] & (first_band == band)
-        if verify == "estimate":
-            keep &= est >= jaccard_threshold
-        iu, ju, est = iu[keep], ju[keep], est[keep]
-        if len(iu) == 0:
+        mh_all = values.to_numpy(zero_copy_only=False).view(np.uint64).reshape(n, num_perm)
+        order = np.lexsort((bh_all, band_all))
+        bs, hs = band_all[order], bh_all[order]
+        bounds = np.nonzero((bs[1:] != bs[:-1]) | (hs[1:] != hs[:-1]))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        out_l, out_r, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = order[s:e]
+            band = int(bs[s])
+            mh = mh_all[g]
+            iu, ju = np.triu_indices(len(g), k=1)
+            eq = mh[iu] == mh[ju]                   # (pairs, num_perm)
+            est = eq.mean(axis=1)
+            # first-colliding-band rule: a pair collides in band b iff ALL
+            # slots of that band match; emit only when THIS band is the
+            # first such band (argmax of a bool matrix = first True)
+            band_eq = eq.reshape(len(iu), bands, rows_per_band).all(axis=2)
+            first_band = band_eq.argmax(axis=1)
+            keep = band_eq[:, band] & (first_band == band)
+            if verify == "estimate":
+                keep &= est >= jaccard_threshold
+            if keep.any():
+                out_l.append(g[iu[keep]])
+                out_r.append(g[ju[keep]])
+                out_s.append(est[keep])
+        if not out_l:
             return empty
-        lk = keys.take(pa.array(iu))
-        rk = keys.take(pa.array(ju))
+        li = np.concatenate(out_l)
+        ri = np.concatenate(out_r)
+        est = np.concatenate(out_s)
+        lk = keys.take(pa.array(li))
+        rk = keys.take(pa.array(ri))
         swap = pc.greater(lk, rk)
         lk, rk = pc.if_else(swap, rk, lk), pc.if_else(swap, lk, rk)
         m = pc.not_equal(lk, rk).to_numpy(zero_copy_only=False)
@@ -239,8 +298,8 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
                          "r_key": rk.filter(pa.array(m)),
                          "_sim_score": pa.array(np.round(est[m], 6))})
 
-    pairs = _scrub_blocks(exploded.groupby(["band", "bh"]).map_groups(
-        bucket_kernel, batch_format="pyarrow"))
+    pairs = _scrub_blocks(exploded.groupby("part").map_groups(
+        partition_kernel, batch_format="pyarrow"))
     if verify == "exact":
         pairs = _exact_jaccard_verify(pairs, ds, key_col, text_col,
                                       shingle_k, jaccard_threshold)
@@ -350,6 +409,10 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
 
+    from rayssj.joins import join_num_partitions
+
+    n_parts = join_num_partitions() * 4
+
     def explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         n = len(h)
@@ -357,7 +420,12 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
         parts = []
         for c in range(n_chunks):
             frag = (h >> np.uint64(c * chunk_bits)) & np.uint64((1 << chunk_bits) - 1)
+            # bounded shuffle key (see minhash_lsh_pairs): one group per hash
+            # PARTITION, buckets iterated inside the kernel
+            mixed = _splitmix_u64(frag ^ np.uint64((0x9E3779B97F4A7C15 * (c + 1)) % (1 << 64)))
+            part = (mixed % np.uint64(n_parts)).astype(np.int64)
             parts.append(pa.table({
+                "part": pa.array(part),
                 "chunk": pa.array(np.full(n, c, dtype=np.int64)),
                 "frag": pa.array(frag.view(np.int64)),
                 "key": keys,
@@ -367,7 +435,8 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
 
     exploded = sketched.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_kernel(tbl: pa.Table) -> pa.Table:
+    def partition_kernel(tbl: pa.Table) -> pa.Table:
+        """One hash PARTITION of (chunk, frag) buckets, iterated locally."""
         keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
         empty = pa.table({"l_key": pa.array([], type=keys.type),
                           "r_key": pa.array([], type=keys.type),
@@ -375,30 +444,49 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
         n = tbl.num_rows
         if n < 2:
             return empty
-        chunk = int(tbl["chunk"][0].as_py())
-        h = tbl["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        iu, ju = np.triu_indices(n, k=1)
-        x = h[iu] ^ h[ju]
-        # vectorized popcount
-        dist = np.zeros(len(x), dtype=np.int64)
-        v = x.copy()
-        for _ in range(8):
-            dist += np.unpackbits((v & np.uint64(0xFF)).astype(np.uint8)).reshape(-1, 8).sum(1).astype(np.int64)
-            v >>= np.uint64(8)
-        # first-intact-chunk rule: a pair lands in every chunk whose fragment
-        # is identical in both hashes; emit only from the FIRST such chunk so
-        # pairs are globally unique with no second dedup shuffle (the round-1
-        # groupby(l_key, r_key) dedup was the CORRECTNESS_r01 crash site)
+        chunk_all = tbl["chunk"].to_numpy(zero_copy_only=False)
+        frag_all = tbl["frag"].to_numpy(zero_copy_only=False)
+        h_all = tbl["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((frag_all, chunk_all))
+        cs, fs = chunk_all[order], frag_all[order]
+        bounds = np.nonzero((cs[1:] != cs[:-1]) | (fs[1:] != fs[:-1]))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
         frag_mask = np.uint64((1 << chunk_bits) - 1)
-        intact = np.stack(
-            [((x >> np.uint64(c * chunk_bits)) & frag_mask) == 0
-             for c in range(n_chunks)], axis=1)
-        first_chunk = intact.argmax(axis=1)
-        keep = (dist <= max_hamming) & (first_chunk == chunk)
-        iu, ju, dist = iu[keep], ju[keep], dist[keep]
-        if len(iu) == 0:
+        out_l, out_r, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = order[s:e]
+            chunk = int(cs[s])
+            h = h_all[g]
+            iu, ju = np.triu_indices(len(g), k=1)
+            x = h[iu] ^ h[ju]
+            # vectorized popcount
+            dist = np.zeros(len(x), dtype=np.int64)
+            v = x.copy()
+            for _ in range(8):
+                dist += np.unpackbits((v & np.uint64(0xFF)).astype(np.uint8)).reshape(-1, 8).sum(1).astype(np.int64)
+                v >>= np.uint64(8)
+            # first-intact-chunk rule: a pair lands in every chunk whose
+            # fragment matches; emit only from the FIRST such chunk so pairs
+            # are globally unique with no second dedup shuffle (the round-1
+            # groupby(l_key, r_key) dedup was the CORRECTNESS_r01 crash site)
+            intact = np.stack(
+                [((x >> np.uint64(c * chunk_bits)) & frag_mask) == 0
+                 for c in range(n_chunks)], axis=1)
+            first_chunk = intact.argmax(axis=1)
+            keep = (dist <= max_hamming) & (first_chunk == chunk)
+            if keep.any():
+                out_l.append(g[iu[keep]])
+                out_r.append(g[ju[keep]])
+                out_d.append(dist[keep])
+        if not out_l:
             return empty
-        lk, rk = keys.take(pa.array(iu)), keys.take(pa.array(ju))
+        li = np.concatenate(out_l)
+        ri = np.concatenate(out_r)
+        dist = np.concatenate(out_d)
+        lk, rk = keys.take(pa.array(li)), keys.take(pa.array(ri))
         swap = pc.greater(lk, rk)
         lk, rk = pc.if_else(swap, rk, lk), pc.if_else(swap, lk, rk)
         m = pc.not_equal(lk, rk).to_numpy(zero_copy_only=False)
@@ -406,8 +494,8 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
                          "r_key": rk.filter(pa.array(m)),
                          "_sim_score": pa.array(dist[m].astype(np.float64))})
 
-    pairs = _scrub_blocks(exploded.groupby(["chunk", "frag"]).map_groups(
-        bucket_kernel, batch_format="pyarrow"))
+    pairs = _scrub_blocks(exploded.groupby("part").map_groups(
+        partition_kernel, batch_format="pyarrow"))
     return _rename_ds(pairs, {"l_key": f"l_{key_col}", "r_key": f"r_{key_col}"})
 
 
