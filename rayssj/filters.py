@@ -55,11 +55,37 @@ def _is_missing(v) -> bool:
     return v is None or (isinstance(v, float) and math.isnan(v))
 
 
+def _null_mask(arr) -> np.ndarray:
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return pc.is_null(arr).to_numpy(zero_copy_only=False).astype(bool)
+
+
 class _BaseFilter:
     """Shared candset-refinement path."""
 
     def filter_pair(self, lstring, rstring) -> bool:  # True = prune
         raise NotImplementedError
+
+    # Batch refinement: subclasses with vectorizable bounds implement
+    # ``_keep_batch(l_arr, r_arr) -> bool ndarray`` (True = KEEP, the
+    # complement of filter_pair); filter_candset dispatches to it and
+    # falls back to the scalar per-pair path otherwise (SuffixFilter).
+    _keep_batch = None
+
+    def _tok_sets_batch(self, l_arr, r_arr):
+        """Deduped token lists + (overlap, sizes, missing masks) for a batch
+        of string pairs — the vectorized counterpart of ``_tok_sets``."""
+        from rayssj.joins import _clone_tokenizer
+        from rayssj.tokenizers import batch_overlap_counts
+
+        l_arr = l_arr.combine_chunks() if isinstance(l_arr, pa.ChunkedArray) else l_arr
+        r_arr = r_arr.combine_chunks() if isinstance(r_arr, pa.ChunkedArray) else r_arr
+        miss = _null_mask(l_arr) | _null_mask(r_arr)
+        tk = _clone_tokenizer(self.tokenizer, return_set=True)
+        ll = tk.tokenize_batch(l_arr.fill_null(""))
+        rl = tk.tokenize_batch(r_arr.fill_null(""))
+        o, nl, nr = batch_overlap_counts(ll, rl)
+        return o, nl, nr, miss
 
     def filter_candset(self, candset, candset_l_key_attr, candset_r_key_attr,
                        ltable, rtable, l_key_attr, r_key_attr,
@@ -84,6 +110,17 @@ class _BaseFilter:
             l_key_attr, r_key_attr, l_filter_attr, r_filter_attr,
             num_partitions=num_partitions)
         flt = self
+        if type(self)._keep_batch is not None:
+            # vectorized §2.3 bounds over the whole batch — no per-pair
+            # re-tokenization / re-sorting (identical keep-set to the scalar
+            # path; tests/test_filters.py parity matrix)
+            def refine_batch(batch: pa.Table) -> pa.Table:
+                keep = flt._keep_batch(batch[_L_STR], batch[_R_STR])
+                return batch.filter(pa.array(keep))
+
+            return (fetched.map_batches(refine_batch, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                    .select_columns(list(orig_cols)))
 
         def refine(batch: pd.DataFrame) -> pd.DataFrame:
             keep = [not flt.filter_pair(a, b)
@@ -177,6 +214,12 @@ class OverlapFilter(_BaseFilter):
         rt = set(self.tokenizer.tokenize(rstring))
         return not COMP_OP_MAP[self.comp_op](len(lt & rt), self.overlap_size)
 
+    def _keep_batch(self, l_arr, r_arr) -> np.ndarray:
+        o, _, _, miss = self._tok_sets_batch(l_arr, r_arr)
+        keep = COMP_OP_MAP[self.comp_op](o, self.overlap_size)
+        keep[miss] = self.allow_missing
+        return keep
+
     def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
                       l_filter_attr, r_filter_attr,
                       l_out_attrs=None, r_out_attrs=None,
@@ -222,6 +265,24 @@ class SizeFilter(_SimMeasureFilter):
         lb = fu.get_size_lower_bound(len(lt), self.sim_measure_type, self.threshold)
         ub = fu.get_size_upper_bound(len(lt), self.sim_measure_type, self.threshold)
         return not (lb <= len(rt) <= ub)
+
+    def _keep_batch(self, l_arr, r_arr) -> np.ndarray:
+        # sizes-only bound: skip the overlap computation entirely
+        from rayssj.joins import _clone_tokenizer
+        from rayssj.tokenizers import _list_parts
+
+        l_arr = l_arr.combine_chunks() if isinstance(l_arr, pa.ChunkedArray) else l_arr
+        r_arr = r_arr.combine_chunks() if isinstance(r_arr, pa.ChunkedArray) else r_arr
+        miss = _null_mask(l_arr) | _null_mask(r_arr)
+        tk = _clone_tokenizer(self.tokenizer, return_set=True)
+        _, nl = _list_parts(tk.tokenize_batch(l_arr.fill_null("")))
+        _, nr = _list_parts(tk.tokenize_batch(r_arr.fill_null("")))
+        lb = fu.get_size_lower_bound(nl, self.sim_measure_type, self.threshold)
+        ub = fu.get_size_upper_bound(nl, self.sim_measure_type, self.threshold)
+        keep = (nr >= lb) & (nr <= ub)
+        keep[(nl == 0) & (nr == 0)] = self.allow_empty
+        keep[miss] = self.allow_missing
+        return keep
 
     def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
                       l_filter_attr, r_filter_attr,
@@ -381,6 +442,21 @@ class PrefixFilter(_SimMeasureFilter):
                                   self.tokenizer)
         return len(set(lo[:pl]) & set(ro[:pr])) == 0
 
+    def _keep_batch(self, l_arr, r_arr) -> np.ndarray:
+        # Pair-local ordering closed form: freq ∈ {1,2}, so every side-unique
+        # token ranks below every shared token — the j-th smallest shared
+        # token sits at position (n_side − overlap) + j of each ordered list,
+        # hence ∃ shared-in-both-prefixes ⇔ o>0 ∧ pl>nl−o ∧ pr>nr−o.
+        o, nl, nr, miss = self._tok_sets_batch(l_arr, r_arr)
+        pl = fu.get_prefix_length(nl, self.sim_measure_type, self.threshold,
+                                  self.tokenizer)
+        pr = fu.get_prefix_length(nr, self.sim_measure_type, self.threshold,
+                                  self.tokenizer)
+        keep = (o > 0) & (pl > nl - o) & (pr > nr - o)
+        keep[(nl == 0) & (nr == 0)] = self.allow_empty
+        keep[miss] = self.allow_missing
+        return keep
+
     def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
                       l_filter_attr, r_filter_attr,
                       l_out_attrs=None, r_out_attrs=None,
@@ -422,6 +498,28 @@ class PositionFilter(_SimMeasureFilter):
         pos_r = ro.index(last)
         bound = len(shared) + min(len(lo) - pos_l - 1, len(ro) - pos_r - 1)
         return bound < ot
+
+    def _keep_batch(self, l_arr, r_arr) -> np.ndarray:
+        # Same closed form as PrefixFilter._keep_batch: with u = n − o
+        # side-unique tokens ranked first, #(shared in both prefixes) =
+        # clip(min(pl−ul, pr−ur), 0, o) and the LAST such token sits at
+        # positions (ul + cnt − 1, ur + cnt − 1) — the PPJoin bound follows.
+        o, nl, nr, miss = self._tok_sets_batch(l_arr, r_arr)
+        pl = fu.get_prefix_length(nl, self.sim_measure_type, self.threshold,
+                                  self.tokenizer)
+        pr = fu.get_prefix_length(nr, self.sim_measure_type, self.threshold,
+                                  self.tokenizer)
+        ul, ur = nl - o, nr - o
+        cnt = np.clip(np.minimum(pl - ul, pr - ur), 0, o)
+        ot = fu.get_overlap_threshold(nl, nr, self.sim_measure_type,
+                                      self.threshold, self.tokenizer)
+        pos_l = ul + cnt - 1
+        pos_r = ur + cnt - 1
+        bound = cnt + np.minimum(nl - pos_l - 1, nr - pos_r - 1)
+        keep = (cnt > 0) & (bound >= ot)
+        keep[(nl == 0) & (nr == 0)] = self.allow_empty
+        keep[miss] = self.allow_missing
+        return keep
 
     def filter_tables(self, ltable, rtable, l_key_attr, r_key_attr,
                       l_filter_attr, r_filter_attr,

@@ -24,6 +24,73 @@ _L_STR = "__l_match_str"
 _R_STR = "__r_match_str"
 
 
+def _fast_scorer(tokenizer, sim_function, threshold, comp_op, allow_missing):
+    """Vectorized scorer when ``sim_function`` is one of the built-in measures
+    (VERDICT r02 task 5): batch tokenization + one overlap lexsort replace the
+    per-pair Python calls; arbitrary UDFs keep the scalar fallback. Returns a
+    pyarrow map_batches callable, or None when no fast path applies."""
+    from rayssj import filter_utils as fu
+    from rayssj.filter_utils import compute_sim
+
+    comp_fn = COMP_OP_MAP[comp_op]
+    measure = {fu.jaccard: fu.JACCARD, fu.cosine: fu.COSINE, fu.dice: fu.DICE,
+               fu.overlap: fu.OVERLAP,
+               fu.overlap_coefficient: fu.OVERLAP_COEFFICIENT}.get(sim_function)
+
+    def _cols(t: pa.Table):
+        l = t[_L_STR].combine_chunks() if isinstance(t[_L_STR], pa.ChunkedArray) else t[_L_STR]
+        r = t[_R_STR].combine_chunks() if isinstance(t[_R_STR], pa.ChunkedArray) else t[_R_STR]
+        import pyarrow.compute as pc
+
+        miss = (pc.is_null(l).to_numpy(zero_copy_only=False)
+                | pc.is_null(r).to_numpy(zero_copy_only=False)).astype(bool)
+        return l, r, miss
+
+    def _emit(t: pa.Table, keep, scores):
+        keep = np.asarray(keep, dtype=bool)
+        out = t.filter(pa.array(keep))
+        return out.append_column("_sim_score", pa.array(scores[keep]))
+
+    if measure is not None and tokenizer is not None:
+        from rayssj.joins import _clone_tokenizer
+        from rayssj.tokenizers import batch_overlap_counts
+
+        def score_set(t: pa.Table) -> pa.Table:
+            l, r, miss = _cols(t)
+            tk = _clone_tokenizer(tokenizer, return_set=True)
+            o, nl, nr = batch_overlap_counts(tk.tokenize_batch(l.fill_null("")),
+                                             tk.tokenize_batch(r.fill_null("")))
+            sim = np.asarray(compute_sim(measure, o, nl, nr), dtype=np.float64)
+            if measure != fu.OVERLAP:  # scalar measures: both-empty -> 1.0
+                sim[(nl == 0) & (nr == 0)] = 1.0
+            keep = comp_fn(sim, threshold)
+            sim[miss] = np.nan
+            keep = np.where(miss, allow_missing, keep)
+            return _emit(t, keep, sim)
+
+        return score_set
+
+    if (sim_function is fu.levenshtein and tokenizer is None
+            and comp_op in ("<=", "<")):
+        from rayssj.levenshtein import levenshtein_pairs_capped
+
+        cap = int(math.ceil(threshold))
+
+        def score_lev(t: pa.Table) -> pa.Table:
+            l, r, miss = _cols(t)
+            dist = levenshtein_pairs_capped(
+                l.fill_null("").to_pylist(), r.fill_null("").to_pylist(), cap
+            ).astype(np.float64)
+            keep = comp_fn(dist, threshold)
+            dist[miss] = np.nan
+            keep = np.where(miss, allow_missing, keep)
+            return _emit(t, keep, dist)
+
+        return score_lev
+
+    return None
+
+
 def fetch_pair_strings(candset, candset_l_key_attr, candset_r_key_attr,
                        ltable, rtable, l_key_attr, r_key_attr,
                        l_fetch_attr, r_fetch_attr,
@@ -103,6 +170,13 @@ def apply_matcher(candset, candset_l_key_attr, candset_r_key_attr,
         l_extra_prefix=l_out_prefix, r_extra_prefix=r_out_prefix)
 
     comp_fn = COMP_OP_MAP[comp_op]
+
+    fast = _fast_scorer(tokenizer, sim_function, threshold, comp_op,
+                        allow_missing)
+    if fast is not None:
+        scored = fetched.map_batches(fast, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        return scored.select_columns(out_cols)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         ls = batch[_L_STR]

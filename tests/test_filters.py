@@ -125,3 +125,47 @@ def test_suffix_filter_tables_no_false_negatives():
         A, B, "ID", "ID", "name", "name", TOK, fu.JACCARD, t,
         allow_empty=False)}
     assert true <= cand
+
+
+def _rand_strings(rng, n, vocab, max_words):
+    out = []
+    for _ in range(n):
+        w = rng.integers(0, max_words + 1)
+        out.append(" ".join(rng.choice(vocab, size=w)) if w else "")
+    return out
+
+
+@pytest.mark.parametrize("make_filter", [
+    lambda tok: OverlapFilter(tok, overlap_size=2),
+    lambda tok: OverlapFilter(tok, overlap_size=1, comp_op=">", allow_missing=True),
+    lambda tok: SizeFilter(tok, fu.JACCARD, 0.6),
+    lambda tok: SizeFilter(tok, fu.COSINE, 0.7, allow_empty=False),
+    lambda tok: PrefixFilter(tok, fu.JACCARD, 0.5),
+    lambda tok: PrefixFilter(tok, fu.DICE, 0.7, allow_missing=True),
+    lambda tok: PositionFilter(tok, fu.JACCARD, 0.5),
+    lambda tok: PositionFilter(tok, fu.OVERLAP_COEFFICIENT, 0.8),
+    lambda tok: PositionFilter(tok, fu.COSINE, 0.6, allow_empty=False),
+])
+def test_keep_batch_matches_filter_pair(make_filter):
+    """The vectorized _keep_batch must produce the exact complement of the
+    scalar filter_pair over adversarial pairs (empties, dups, missing)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "zz q"])
+    n = 300
+    ls = _rand_strings(rng, n, vocab, 8)
+    rs = _rand_strings(rng, n, vocab, 8)
+    ls[5] = None
+    rs[11] = None
+    ls[12] = rs[12] = ""
+    ls[13] = rs[13]  # identical
+    for tok in (WhitespaceTokenizer(), QgramTokenizer(qval=2, return_set=True)):
+        f = make_filter(tok)
+        scalar = np.array([not f.filter_pair(a, b) for a, b in zip(ls, rs)])
+        batch = f._keep_batch(pa.array(ls, type=pa.string()),
+                              pa.array(rs, type=pa.string()))
+        bad = np.nonzero(scalar != np.asarray(batch))[0]
+        assert len(bad) == 0, (type(f).__name__, bad[:5],
+                               [(ls[i], rs[i]) for i in bad[:3]])

@@ -84,3 +84,55 @@ def test_apply_matcher_out_attrs():
     amap = dict(zip(A["ID"], A["zip"]))
     for la, z in zip(out["l_ID"], out["l_zip"]):
         assert z == amap[la]
+
+
+def test_apply_matcher_fast_path_matches_udf():
+    """Built-in measures dispatch to the vectorized scorer; a lambda wrapper
+    of the same function forces the scalar UDF path — outputs must match."""
+    import numpy as np
+
+    from rayssj import filter_utils as fu
+    from rayssj.matcher import _fast_scorer
+
+    assert _fast_scorer(WhitespaceTokenizer(), fu.jaccard, 0.3, ">=", False) is not None
+    assert _fast_scorer(WhitespaceTokenizer(), lambda a, b: 1.0, 0.3, ">=", False) is None
+
+    A, B = make_tables(seed=61)
+    cand = _candset(A, B).to_pandas()
+    for fn, wrapped in ((jaccard, lambda a, b: jaccard(a, b)),
+                        (overlap, lambda a, b: overlap(a, b))):
+        fast = apply_matcher(cand, "l_ID", "r_ID", A, B, "ID", "ID",
+                             "name", "name", WhitespaceTokenizer(), fn, 0.3,
+                             allow_missing=True).to_pandas()
+        slow = apply_matcher(cand, "l_ID", "r_ID", A, B, "ID", "ID",
+                             "name", "name", WhitespaceTokenizer(), wrapped,
+                             0.3, allow_missing=True).to_pandas()
+        key = ["l_ID", "r_ID"]
+        fast = fast.sort_values(key, ignore_index=True)
+        slow = slow.sort_values(key, ignore_index=True)
+        assert fast[key].equals(slow[key]) and len(fast) > 0
+        assert np.allclose(fast["_sim_score"], slow["_sim_score"],
+                           equal_nan=True)
+
+
+def test_apply_matcher_fast_levenshtein():
+    import numpy as np
+
+    from rayssj import filter_utils as fu
+    from rayssj.matcher import _fast_scorer
+
+    assert _fast_scorer(None, fu.levenshtein, 2, "<=", False) is not None
+    assert _fast_scorer(None, fu.levenshtein, 2, ">=", False) is None
+
+    A, B = make_tables(seed=67)
+    cand = _candset(A, B).to_pandas()
+    fast = apply_matcher(cand, "l_ID", "r_ID", A, B, "ID", "ID", "name",
+                         "name", None, fu.levenshtein, 6, comp_op="<=").to_pandas()
+    slow = apply_matcher(cand, "l_ID", "r_ID", A, B, "ID", "ID", "name",
+                         "name", None, lambda a, b: fu.levenshtein(a, b), 6,
+                         comp_op="<=").to_pandas()
+    key = ["l_ID", "r_ID"]
+    fast = fast.sort_values(key, ignore_index=True)
+    slow = slow.sort_values(key, ignore_index=True)
+    assert fast[key].equals(slow[key]) and len(fast) > 0
+    assert (fast["_sim_score"].to_numpy() == slow["_sim_score"].to_numpy()).all()
