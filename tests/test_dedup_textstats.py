@@ -271,3 +271,51 @@ def test_fingerprint_stability():
     b1 = fingerprint_batch(pa.table({"text": ["abc", "abd", "abc"]}))
     fp = b1["fingerprint"].to_pylist()
     assert fp[0] == fp[2] and fp[0] != fp[1]
+
+
+def test_embedding_multiprobe_lsh_recall():
+    """Planted near-dup fixture: multi-probe LSH recall >= 0.9 at t=0.95,
+    precision 1.0 (cosine verified in-bucket), and pairs globally unique."""
+    import ray.data as rd
+
+    from rayssj.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(13)
+    n_base, dim = 900, 16
+    base = rng.standard_normal((n_base, dim)).astype(np.float32)
+    dups = base[:150] + rng.standard_normal((150, dim)).astype(np.float32) * 0.05
+    vecs = np.vstack([base, dups])
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [list(map(float, v)) for v in vecs]})
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    iu, ju = np.nonzero(np.triu(sims >= 0.95, k=1))
+    exact = set(zip(iu.tolist(), ju.tolist()))
+    assert len(exact) >= 100
+
+    lsh = embedding_cosine_pairs(rd.from_pandas(df), "vec_id", "embedding",
+                                 threshold=0.95, num_buckets=64).to_pandas()
+    got = list(zip(lsh["l_vec_id"], lsh["r_vec_id"]))
+    assert len(got) == len(set(got))            # no duplicate emissions
+    assert set(got) <= exact                    # precision 1.0
+    recall = len(set(got) & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_embedding_auto_switches_to_lsh():
+    """Above auto_exact_max the default path must take the LSH branch and
+    still find planted near-dups."""
+    import ray.data as rd
+
+    from rayssj.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    base[250:] = base[:50] + rng.standard_normal((50, 16)).astype(np.float32) * 0.01
+    df = pd.DataFrame({"vec_id": range(300),
+                       "embedding": [list(map(float, v)) for v in base]})
+    out = embedding_cosine_pairs(rd.from_pandas(df), "vec_id", "embedding",
+                                 threshold=0.95, auto_exact_max=100).to_pandas()
+    got = set(zip(out["l_vec_id"], out["r_vec_id"]))
+    planted = {(i, 250 + i) for i in range(50)}
+    assert len(got & planted) >= 45
