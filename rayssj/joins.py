@@ -790,7 +790,18 @@ def _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
 
 def jaccard_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
                  tokenizer, threshold, **kwargs):
-    """Jaccard set-similarity join [ref: join/jaccard_join.py:~20 †U]."""
+    """Jaccard set-similarity join [ref: join/jaccard_join.py:~20 †U].
+
+    API divergences from the reference (apply to every join/filter here):
+    ``n_jobs`` and ``show_progress`` are accepted for signature compatibility
+    but INERT — parallelism is Ray's streaming scheduler (size it via
+    ``ray.init(num_cpus=...)`` / per-stage ``num_buckets``), and progress is
+    Ray Data's own reporting. The reference's dense 0..n-1 ``_id`` output
+    column is OPT-IN via ``out_id=True`` (a distributed zip-with-index pass;
+    values are stable within a run but their assignment to rows is
+    scheduling-order dependent, hence not reproducible across runs —
+    SURVEY.md §7.4).
+    """
     return _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                          r_join_attr, tokenizer, fu.JACCARD, threshold, **kwargs)
 
