@@ -76,10 +76,10 @@ class _BaseFilter:
         """Deduped token lists + (overlap, sizes, missing masks) for a batch
         of string pairs — the vectorized counterpart of ``_tok_sets``."""
         from rayssj.joins import _clone_tokenizer
-        from rayssj.tokenizers import batch_overlap_counts
+        from rayssj.tokenizers import as_string_array, batch_overlap_counts
 
-        l_arr = l_arr.combine_chunks() if isinstance(l_arr, pa.ChunkedArray) else l_arr
-        r_arr = r_arr.combine_chunks() if isinstance(r_arr, pa.ChunkedArray) else r_arr
+        l_arr = as_string_array(l_arr)
+        r_arr = as_string_array(r_arr)
         miss = _null_mask(l_arr) | _null_mask(r_arr)
         tk = _clone_tokenizer(self.tokenizer, return_set=True)
         ll = tk.tokenize_batch(l_arr.fill_null(""))
@@ -136,12 +136,15 @@ class _BaseFilter:
                           sim_measure_type, threshold, allow_missing,
                           l_out_attrs=None, r_out_attrs=None,
                           l_out_prefix="l_", r_out_prefix="r_",
-                          self_join=False, num_buckets=DEFAULT_NUM_BUCKETS):
+                          self_join=False, num_buckets=None):
         import ray.data as rd
 
         from rayssj.joins import _shape_output
 
-        from rayssj.joins import _ensure_parallel
+        from rayssj.joins import _ensure_parallel, default_num_buckets
+
+        if num_buckets is None:
+            num_buckets = default_num_buckets()
 
         l_raw = _as_dataset(ltable)
         r_raw = l_raw if self_join else _as_dataset(rtable)
@@ -225,7 +228,7 @@ class OverlapFilter(_BaseFilter):
                       l_out_attrs=None, r_out_attrs=None,
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
-                      num_buckets=DEFAULT_NUM_BUCKETS):
+                      num_buckets=None):
         factory = lambda sj: make_set_sim_bucket_kernel(
             fu.OVERLAP, self.overlap_size, self.comp_op, self_join=sj)
         return self._blocking_candset(
@@ -269,10 +272,10 @@ class SizeFilter(_SimMeasureFilter):
     def _keep_batch(self, l_arr, r_arr) -> np.ndarray:
         # sizes-only bound: skip the overlap computation entirely
         from rayssj.joins import _clone_tokenizer
-        from rayssj.tokenizers import _list_parts
+        from rayssj.tokenizers import _list_parts, as_string_array
 
-        l_arr = l_arr.combine_chunks() if isinstance(l_arr, pa.ChunkedArray) else l_arr
-        r_arr = r_arr.combine_chunks() if isinstance(r_arr, pa.ChunkedArray) else r_arr
+        l_arr = as_string_array(l_arr)
+        r_arr = as_string_array(r_arr)
         miss = _null_mask(l_arr) | _null_mask(r_arr)
         tk = _clone_tokenizer(self.tokenizer, return_set=True)
         _, nl = _list_parts(tk.tokenize_batch(l_arr.fill_null("")))
@@ -289,7 +292,7 @@ class SizeFilter(_SimMeasureFilter):
                       l_out_attrs=None, r_out_attrs=None,
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
-                      num_buckets=DEFAULT_NUM_BUCKETS):
+                      num_buckets=None):
         """Size-bucket blocking: r-records land in the group of their own set
         size; l-records are exploded to every compatible size — each candidate
         pair materialises in exactly ONE group (no dedup shuffle needed)."""
@@ -297,7 +300,10 @@ class SizeFilter(_SimMeasureFilter):
 
         from rayssj.joins import _shape_output
 
-        from rayssj.joins import _ensure_parallel
+        from rayssj.joins import _ensure_parallel, default_num_buckets
+
+        if num_buckets is None:
+            num_buckets = default_num_buckets()
 
         l_raw = _as_dataset(ltable)
         r_raw = l_raw if self_join else _as_dataset(rtable)
@@ -462,7 +468,7 @@ class PrefixFilter(_SimMeasureFilter):
                       l_out_attrs=None, r_out_attrs=None,
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
-                      num_buckets=DEFAULT_NUM_BUCKETS):
+                      num_buckets=None):
         factory = lambda sj: make_filter_bucket_kernel(
             "prefix", self.sim_measure_type, self.threshold, self_join=sj)
         return self._blocking_candset(
@@ -526,7 +532,7 @@ class PositionFilter(_SimMeasureFilter):
                       l_out_attrs=None, r_out_attrs=None,
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
-                      num_buckets=DEFAULT_NUM_BUCKETS):
+                      num_buckets=None):
         factory = lambda sj: make_filter_bucket_kernel(
             "position", self.sim_measure_type, self.threshold, self_join=sj)
         return self._blocking_candset(
@@ -614,7 +620,7 @@ class SuffixFilter(_SimMeasureFilter):
                       l_out_attrs=None, r_out_attrs=None,
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
-                      num_buckets=DEFAULT_NUM_BUCKETS):
+                      num_buckets=None):
         """Prefix-blocked candidates refined per pair with ``filter_pair``.
 
         Any pair surviving the suffix filter must share a prefix token

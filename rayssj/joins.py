@@ -23,6 +23,7 @@ salting granularity knob.
 from __future__ import annotations
 
 import copy
+import os
 
 import numpy as np
 import pandas as pd
@@ -35,10 +36,29 @@ from rayssj.kernels import make_edit_distance_bucket_kernel, make_set_sim_bucket
 from rayssj.ordering import TOKENS_COL, build_token_order
 from rayssj.validation import validate_join_inputs
 
-DEFAULT_NUM_BUCKETS = 64   # heavy rank-payload rows ship once per
-                           # (record, bucket): raising buckets to 256 for
-                           # finer load balancing 4x'd the shuffle payload
-                           # and cost ~40% at 32 CPUs — measured, reverted
+DEFAULT_NUM_BUCKETS = 64   # floor; see default_num_buckets()
+_MAX_NUM_BUCKETS = 4096    # heavy rank-payload rows ship once per
+                           # (record, bucket), so dup grows with buckets until
+                           # it saturates at the per-record cell spread:
+                           # 384 buckets tripled the sort payload at 32 CPUs
+                           # (1.3GB -> 4.0GB) for no kernel-CPU win
+
+
+def default_num_buckets() -> int:
+    """Kernel co-group bucket count, scaled with cluster CPUs.
+
+    Finer buckets flatten kernel task skew (measured at 32 CPUs on the 4x
+    sf0.1 scaling job: 64 buckets -> max task 18.7-35s vs mean 9-12s; 192
+    buckets + 4x-CPU input blocks -> max 9.8-12.9s vs mean 4-5s, same total
+    CPU), which is what protects the high-parallelism makespan. Bounded above
+    because heavy-row duplication grows with the bucket count (see
+    _MAX_NUM_BUCKETS) and below so small test clusters keep the round-2
+    measured configuration."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return int(min(max(cpus * 6, DEFAULT_NUM_BUCKETS), _MAX_NUM_BUCKETS))
 
 
 def join_num_partitions() -> int:
@@ -113,7 +133,13 @@ def _ensure_parallel(ds):
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
-        return ds.repartition(cpus * 2)
+        # cpus*4 input blocks -> cpus*4 kernel tasks under sort-shuffle
+        # (output partition count tracks input block count, NOT the groupby's
+        # num_partitions); measured at 32 CPUs on the 4x sf0.1 scaling job:
+        # 64 tasks max 18.7-35s vs mean 9-12s; 128 tasks max 9.8-12.9s —
+        # flatter makespan, same total CPU
+        mult = int(os.environ.get("RAYSSJ_PARALLEL_MULT", "4"))
+        return ds.repartition(cpus * mult)
     return ds
 
 
@@ -209,7 +235,8 @@ def _bucket_groupby(exploded):
         exploded.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     except Exception:
         pass
-    return exploded.groupby("bucket", num_partitions=join_num_partitions())
+    nparts = int(os.environ.get("RAYSSJ_GROUPBY_PARTS", "0")) or join_num_partitions()
+    return exploded.groupby("bucket", num_partitions=nparts)
 
 
 _AGG_REMOTE_ARGS = {"num_cpus": 0.125, "memory": 256 * 1024 * 1024}
@@ -232,9 +259,23 @@ def hash_join(left, right, on, right_on, join_type="inner"):
             ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
         except Exception:
             pass
+    # Scrub ZERO-COLUMN empty blocks (map_groups emits them for empty sort
+    # partitions, and default map_batches SKIPS empty blocks, so they survive
+    # every later stage): a join hash-partition fed only such blocks crashes
+    # pyarrow Table.join with 'No match for FieldRef.Name(...)'. An explicit
+    # batch_size forces the bundler to coalesce, which drops empties.
+    left = _scrub_empty_blocks(left)
+    right = _scrub_empty_blocks(right)
     return left.join(right, join_type, num_partitions=join_num_partitions(),
                      on=on, right_on=right_on,
                      aggregator_ray_remote_args=dict(_AGG_REMOTE_ARGS))
+
+
+def _scrub_empty_blocks(ds):
+    """Drop zero-column empty blocks; see hash_join. One streaming Arrow pass,
+    block sizes re-bundled up to 256k rows."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=1 << 18)
 
 def _as_dataset(table):
     import ray.data as rd
@@ -355,6 +396,12 @@ class _SetSimExploder:
         self.num_buckets = num_buckets
         self.self_mode = self_mode
         self.salt_target = salt_target
+        # heavy rank payloads dominate the bucket-shuffle bytes; when the
+        # vocabulary fits, ship them as uint16 (half of int32) — the kernel's
+        # numpy ops are dtype-agnostic (sentinels live in separate int64
+        # arrays, mixed comparisons promote)
+        self.rank_type = pa.uint16() if len(self.order) < 65536 else pa.int32()
+        self.rank_np = np.uint16 if len(self.order) < 65536 else np.int32
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = self.order
@@ -374,7 +421,7 @@ class _SetSimExploder:
         total = int(emit_len.sum())
         keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
         if total == 0:
-            return _empty_exploded(keys.type)
+            return _empty_exploded(keys.type, self.rank_type)
         first = np.zeros(n, dtype=np.int64)
         np.cumsum(emit_len[:-1], out=first[1:])
         pos = np.arange(total, dtype=np.int64) - first[row_ids]
@@ -382,7 +429,7 @@ class _SetSimExploder:
         pdf = cv[offsets[row_ids] + pos]
         ranks_list = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()),
-            pa.array(rv.astype(np.int32), type=pa.int32()))
+            pa.array(rv.astype(self.rank_np), type=self.rank_type))
 
         keyhash = _key_hash(keys)
         rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, pdf,
@@ -404,7 +451,7 @@ class _SetSimExploder:
             "key": keys.take(pa.array(rec_of, type=pa.int64())),
             "size": pa.array(sizes[rec_of].astype(np.int32)),
             "pl": pa.array(pl[rec_of].astype(np.int32)),
-            "ranks": pa.nulls(len(rep), type=pa.large_list(pa.int32())),
+            "ranks": pa.nulls(len(rep), type=pa.large_list(self.rank_type)),
             "bucket": pa.array(bucket),
         })
         heavy_side = -1 if self.self_mode else (-1 - self.side)
@@ -422,7 +469,7 @@ class _SetSimExploder:
         return pa.concat_tables([light, heavy])
 
 
-def _empty_exploded(key_type):
+def _empty_exploded(key_type, rank_type=None):
     return pa.table({
         "grp": pa.array([], type=pa.int64()),
         "ptok": pa.array([], type=pa.int64()),
@@ -431,7 +478,7 @@ def _empty_exploded(key_type):
         "key": pa.array([], type=key_type),
         "size": pa.array([], type=pa.int32()),
         "pl": pa.array([], type=pa.int32()),
-        "ranks": pa.array([], type=pa.large_list(pa.int32())),
+        "ranks": pa.array([], type=pa.large_list(rank_type or pa.int32())),
         "bucket": pa.array([], type=pa.int64()),
     })
 
@@ -618,7 +665,7 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                   l_out_attrs=None, r_out_attrs=None,
                   l_out_prefix="l_", r_out_prefix="r_",
                   out_sim_score=True, n_jobs=1, show_progress=False,
-                  self_join=False, num_buckets=DEFAULT_NUM_BUCKETS,
+                  self_join=False, num_buckets=None,
                   token_order=None, bucket_range=None, salt_target=None,
                   out_id=False, prebuilt_exploded=None):
     """``token_order``/``bucket_range`` support partitioned-resumable runs
@@ -630,6 +677,8 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
     (see build_set_sim_exploded)."""
     import ray.data as rd
 
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     # validate on the RAW datasets: repartition of an empty dataset loses the
     # schema (Dataset.schema() -> None), which would break attr validation
     l_raw = _as_dataset(ltable)
@@ -841,7 +890,7 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                        allow_missing=False, l_out_attrs=None, r_out_attrs=None,
                        l_out_prefix="l_", r_out_prefix="r_", out_sim_score=True,
                        n_jobs=1, show_progress=False, self_join=False,
-                       num_buckets=DEFAULT_NUM_BUCKETS, salt_target=None,
+                       num_buckets=None, salt_target=None,
                        out_id=False):
     """Edit-distance join [ref: join/edit_distance_join.py:~25 †U].
 
@@ -850,6 +899,8 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
     """
     import ray.data as rd
 
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     l_raw = _as_dataset(ltable)
     r_raw = l_raw if self_join else _as_dataset(rtable)
     validate_join_inputs(l_raw, r_raw, l_key_attr, r_key_attr, l_join_attr,

@@ -50,8 +50,9 @@ class LangIdScorer:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch[self.text_col]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        from rayssj.tokenizers import as_string_array
+
+        col = as_string_array(batch[self.text_col])
         filled = col.fill_null("")
         n = len(filled)
         n_chars = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -175,8 +176,9 @@ class TokenCounter:
         self.pattern = _BPEISH_PATTERN
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch[self.text_col]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        from rayssj.tokenizers import as_string_array
+
+        col = as_string_array(batch[self.text_col])
         filled = col.fill_null("")
         ws_tokens = _count_regex(filled, r"\S+")
         bpe = _count_regex(filled, self.pattern)

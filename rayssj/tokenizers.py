@@ -108,6 +108,20 @@ def batch_overlap_counts(l_list, r_list):
     return overlap.astype(np.int64), ln, rn
 
 
+def as_string_array(arr) -> pa.Array:
+    """Coerce input to one flat string Array. An ALL-null block (e.g. a
+    1-row repartition slice of a pandas source whose attr is None) infers
+    Arrow type ``null``; cast it to string so fill_null("")/split kernels
+    accept it — null semantics are preserved."""
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_null(arr.type):
+        arr = arr.cast(pa.string())
+    return arr
+
+
 def _mask_nulls(arr: pa.Array, list_arr: pa.ListArray) -> pa.ListArray:
     """Propagate input nulls to the tokenized list array."""
     if arr.null_count == 0:
@@ -132,8 +146,7 @@ class _BaseTokenizer:
 
     def tokenize_batch(self, arr) -> pa.ListArray:
         """Default batch path: scalar tokenize per row (subclasses vectorize)."""
-        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
-            arr = pa.array(arr, type=pa.string())
+        arr = as_string_array(arr)
         pylist = arr.to_pylist()
         toks = [None if s is None else self.tokenize(s) for s in pylist]
         return pa.array(toks, type=pa.list_(pa.string()))
@@ -175,10 +188,7 @@ class QgramTokenizer(_BaseTokenizer):
         Decodes all rows to one UTF-32 code-point buffer, then builds every
         q-gram with strided numpy slicing — no per-row Python loop.
         """
-        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
-            arr = pa.array(arr, type=pa.string())
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
+        arr = as_string_array(arr)
         q = self.qval
         n = len(arr)
         if n == 0:
@@ -237,10 +247,7 @@ class WhitespaceTokenizer(_BaseTokenizer):
         return toks
 
     def tokenize_batch(self, arr) -> pa.ListArray:
-        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
-            arr = pa.array(arr, type=pa.string())
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
+        arr = as_string_array(arr)
         split = pc.utf8_split_whitespace(arr.fill_null(""))
         split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
         # Arrow emits empty tokens at leading/trailing whitespace; str.split() doesn't.
@@ -281,10 +288,7 @@ class DelimiterTokenizer(_BaseTokenizer):
     def tokenize_batch(self, arr) -> pa.ListArray:
         """Vectorized: plain split for a single delimiter, RE2 alternation
         (longest-delimiter-first, matching the scalar path) otherwise."""
-        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
-            arr = pa.array(arr, type=pa.string())
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
+        arr = as_string_array(arr)
         filled = arr.fill_null("")
         if len(self.delim_set) == 1:
             split = pc.split_pattern(filled, next(iter(self.delim_set)))
@@ -313,10 +317,7 @@ class _RegexFindallTokenizer(_BaseTokenizer):
         return toks
 
     def tokenize_batch(self, arr) -> pa.ListArray:
-        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
-            arr = pa.array(arr, type=pa.string())
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
+        arr = as_string_array(arr)
         split = pc.split_pattern_regex(arr.fill_null(""), self._inverse_pattern)
         split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
         out = _filter_empty_tokens(split)

@@ -169,3 +169,23 @@ def test_keep_batch_matches_filter_pair(make_filter):
         bad = np.nonzero(scalar != np.asarray(batch))[0]
         assert len(bad) == 0, (type(f).__name__, bad[:5],
                                [(ls[i], rs[i]) for i in bad[:3]])
+
+
+def test_null_heavy_tiny_tables_end_to_end():
+    """All-null 1-row repartition slices infer Arrow type ``null`` for the
+    string attr, and map_groups' empty sort partitions emit ZERO-COLUMN blocks
+    that poison downstream pyarrow joins ('No match for FieldRef') — both
+    crashed here before the as_string_array / hash_join scrub fixes."""
+    from rayssj import jaccard_join
+
+    A = pd.DataFrame({"ID": [f"a{i}" for i in range(8)],
+                      "name": [None, "x y z", None, "x y", None, None, "q r", None]})
+    B = pd.DataFrame({"ID": [f"b{i}" for i in range(8)],
+                      "name": [None] * 7 + ["x y z"]})
+    f = SuffixFilter(TOK, fu.JACCARD, 0.5)
+    sf = f.filter_tables(A, B, "ID", "ID", "name", "name").to_pandas()
+    assert set(zip(sf["l_ID"], sf["r_ID"])) == {("a1", "b7"), ("a3", "b7")}
+    out = jaccard_join(A, B, "ID", "ID", "name", "name", TOK, 0.5,
+                       l_out_attrs=["name"], r_out_attrs=["name"]).to_pandas()
+    assert set(zip(out["l_ID"], out["r_ID"])) == {("a1", "b7"), ("a3", "b7")}
+    assert set(out.columns) == {"l_ID", "r_ID", "l_name", "r_name", "_sim_score"}
