@@ -116,15 +116,19 @@ def run_bench() -> dict:
     return out
 
 
-_SCALE_DIR = "/tmp/rayssj_scaling"
-_SCALE_REPLICAS = 4
+_SCALE_REPLICAS = 8
+_SCALE_DIR = f"/tmp/rayssj_scaling_x{_SCALE_REPLICAS}"
 
 
 def _build_scaling_input() -> str:
-    """Deterministic 4x replication of sf0.1 documents (doc_ids remapped) —
-    the SAME enlarged input is used at both parallelism levels. sf0.1 alone is
-    ~0.1 MB/core at 32 CPUs; per-core work that thin measures Ray's fixed
-    overheads, not throughput scaling."""
+    """Deterministic 8x replication of sf0.1 documents (doc_ids remapped) —
+    the SAME enlarged input is used at both parallelism levels. The input is
+    sized so the 4N-level (32-CPU) run stays >= ~80 s: after the round-3
+    broadcast-ranks optimization the 4x input finished in ~27 s at 32 CPUs,
+    at which point Ray's constant costs (read/sample/schedule, ~4-5 s) and
+    the kernel straggler tail dominate the ratio and the measurement stops
+    reflecting steady-state throughput scaling. Same formula, same
+    both-levels-same-input protocol."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 

@@ -165,10 +165,22 @@ class _BaseFilter:
         r_clean = l_clean if self_join else _drop_missing(r_tok)
         order = build_token_order(l_tok) if self_join else build_token_order(l_tok, r_tok)
         order_ref = ray.put(order)
-        expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
-                           num_buckets=num_buckets, self_mode=self_join)
-        from rayssj.joins import make_explode_fn
+        from rayssj.joins import (
+            _BCAST_RANKS_MAX_BYTES,
+            _build_ranks_broadcast,
+            _ranks_bcast_estimate,
+            make_explode_fn,
+        )
 
+        ranks_bcast = None
+        est = _ranks_bcast_estimate(order)
+        if est is not None and est <= _BCAST_RANKS_MAX_BYTES:
+            rank_np = np.uint16 if len(order) < 65536 else np.int32
+            ranks_bcast = _build_ranks_broadcast(l_clean, r_clean, order_ref,
+                                                 self_join, rank_np)
+        expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
+                           num_buckets=num_buckets, self_mode=self_join,
+                           emit_heavy=ranks_bcast is None)
         l_expl = l_clean.map_batches(
             make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
             batch_format="pyarrow", zero_copy_batch=True)
@@ -179,7 +191,7 @@ class _BaseFilter:
                 make_explode_fn(_SetSimExploder, order_ref, side=1, **expl_kwargs),
                 batch_format="pyarrow", zero_copy_batch=True)
             exploded = l_expl.union(r_expl)
-        kernel = kernel_factory(self_join)
+        kernel = kernel_factory(self_join, ranks_bcast)
         pairs = _bucket_groupby(exploded).map_groups(kernel, batch_format="pyarrow")
         if "_sim_score" in pairs.schema().names:
             pairs = pairs.drop_columns(["_sim_score"])
@@ -229,8 +241,9 @@ class OverlapFilter(_BaseFilter):
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
                       num_buckets=None):
-        factory = lambda sj: make_set_sim_bucket_kernel(
-            fu.OVERLAP, self.overlap_size, self.comp_op, self_join=sj)
+        factory = lambda sj, rref: make_set_sim_bucket_kernel(
+            fu.OVERLAP, self.overlap_size, self.comp_op, self_join=sj,
+            ranks_ref=rref)
         return self._blocking_candset(
             ltable, rtable, l_key_attr, r_key_attr, l_filter_attr, r_filter_attr,
             factory, fu.OVERLAP, self.overlap_size, self.allow_missing,
@@ -469,8 +482,9 @@ class PrefixFilter(_SimMeasureFilter):
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
                       num_buckets=None):
-        factory = lambda sj: make_filter_bucket_kernel(
-            "prefix", self.sim_measure_type, self.threshold, self_join=sj)
+        factory = lambda sj, rref: make_filter_bucket_kernel(
+            "prefix", self.sim_measure_type, self.threshold, self_join=sj,
+            ranks_ref=rref)
         return self._blocking_candset(
             ltable, rtable, l_key_attr, r_key_attr, l_filter_attr, r_filter_attr,
             factory, self.sim_measure_type, self.threshold, self.allow_missing,
@@ -533,8 +547,9 @@ class PositionFilter(_SimMeasureFilter):
                       l_out_prefix="l_", r_out_prefix="r_",
                       n_jobs=1, show_progress=False, self_join=False,
                       num_buckets=None):
-        factory = lambda sj: make_filter_bucket_kernel(
-            "position", self.sim_measure_type, self.threshold, self_join=sj)
+        factory = lambda sj, rref: make_filter_bucket_kernel(
+            "position", self.sim_measure_type, self.threshold, self_join=sj,
+            ranks_ref=rref)
         return self._blocking_candset(
             ltable, rtable, l_key_attr, r_key_attr, l_filter_attr, r_filter_attr,
             factory, self.sim_measure_type, self.threshold, self.allow_missing,

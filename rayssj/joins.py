@@ -54,6 +54,9 @@ def default_num_buckets() -> int:
     because heavy-row duplication grows with the bucket count (see
     _MAX_NUM_BUCKETS) and below so small test clusters keep the round-2
     measured configuration."""
+    env = int(os.environ.get("RAYSSJ_NUM_BUCKETS", "0"))
+    if env:
+        return env
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -232,7 +235,10 @@ def _bucket_groupby(exploded):
     try:
         from ray.data.context import ShuffleStrategy
 
-        exploded.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+        if os.environ.get("RAYSSJ_BUCKET_SHUFFLE", "sort") == "hash":
+            exploded.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        else:
+            exploded.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     except Exception:
         pass
     nparts = int(os.environ.get("RAYSSJ_GROUPBY_PARTS", "0")) or join_num_partitions()
@@ -323,8 +329,8 @@ def _drop_missing(tok_ds):
 # sub-chunks per side (s <= SALT_MAX); each pair meets in exactly ONE of the
 # s×s grid cells, so dedup semantics are unchanged while kernel parallelism
 # for the hot token grows s²-fold.
-SALT_TARGET = 1536
-SALT_MAX = 16
+SALT_TARGET = int(os.environ.get("RAYSSJ_SALT_TARGET", "1536"))
+SALT_MAX = int(os.environ.get("RAYSSJ_SALT_MAX", "16"))
 
 
 def _salt_cells(ptok, row_ids, keyhash, df, side, self_mode,
@@ -378,6 +384,89 @@ def _key_hash(keys: pa.Array) -> np.ndarray:
         .astype(np.int64) % np.int64(2**62)
 
 
+# Broadcast-ranks mode: when the ENCODED token table (flat sorted rank arrays
+# for every record) fits comfortably in the object store, ship it ONCE via
+# ray.put and let kernel tasks look rank slices up by key hash — instead of
+# duplicating each record's rank array across every (record, bucket) heavy
+# row in the sort shuffle (~#buckets-fold byte amplification on dense
+# corpora; measured 0.3 GB light vs 1.0+ GB heavy on the sf0.1 scaling job).
+# On a multi-node cluster the object is fetched once per NODE. Above the cap
+# (or when the ordering itself is distributed — HashedTokenOrder, i.e. huge
+# vocabularies) the heavy-row shuffle path is used: it streams and never
+# requires any single object to hold the corpus.
+_BCAST_RANKS_MAX_BYTES = int(os.environ.get("RAYSSJ_BCAST_RANKS_MAX",
+                                            str(256 * 1024 * 1024)))
+
+
+def _ranks_bcast_estimate(order) -> int | None:
+    """Estimated broadcast-table bytes, or None when unknowable cheaply
+    (distributed ordering keeps no driver-side counts)."""
+    counts = getattr(order, "counts", None)
+    if counts is None:
+        return None
+    width = 2 if len(order) < 65536 else 4
+    occ = int(counts.sum())
+    # + ~24B/record for hash + offset + length; every record has >= 1 token
+    return occ * (width + 1) + 24 * max(occ // 4, 1)
+
+
+def _encode_ranks_fn(order_ref, rank_np):
+    def fn(batch: pa.Table) -> pa.Table:
+        order = _cached_order(order_ref)
+        rv, _, lengths = order.encode(batch[TOKENS_COL])
+        offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        ranks = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), pa.array(rv.astype(rank_np)))
+        return pa.table({"key": batch["key"], "ranks": ranks})
+
+    return fn
+
+
+def _collect_rank_side(clean_ds, order_ref, rank_np):
+    """(sorted key-hashes, starts, lens, flat rank values) for one side."""
+    mat = clean_ds.map_batches(_encode_ranks_fn(order_ref, rank_np),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    # map_batches SKIPS empty blocks, so an empty pandas-backed source block
+    # can reach here unconverted — drop empties by len() and coerce stragglers
+    tbls = [t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    if not tbls:
+        z = np.array([], dtype=np.int64)
+        return {"h": z, "st": z, "ln": z}, np.array([], dtype=rank_np)
+    tbl = pa.concat_tables(tbls)
+    keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
+    kh = _key_hash(keys)
+    ranks = tbl["ranks"].combine_chunks() if isinstance(tbl["ranks"], pa.ChunkedArray) else tbl["ranks"]
+    rv = ranks.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(ranks).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    sortix = np.argsort(kh, kind="stable")
+    h = kh[sortix]
+    if len(h) > 1 and (h[1:] == h[:-1]).any():
+        return None, None  # 62-bit hash collision — caller falls back
+    return {"h": h, "st": offs[:-1][sortix], "ln": lens[sortix]}, rv
+
+
+def _build_ranks_broadcast(l_clean, r_clean, order_ref, self_join, rank_np):
+    """ray.put one rank table for the kernels, or None on hash collision."""
+    s0, rv0 = _collect_rank_side(l_clean, order_ref, rank_np)
+    if s0 is None:
+        return None
+    if self_join:
+        return ray.put({"s0": s0, "s1": None, "rv": rv0})
+    s1, rv1 = _collect_rank_side(r_clean, order_ref, rank_np)
+    if s1 is None:
+        return None
+    # one flat values array serves both sides: side-1 slices are offset past
+    # side-0's values
+    s1 = {"h": s1["h"], "st": s1["st"] + len(rv0), "ln": s1["ln"]}
+    return ray.put({"s0": s0, "s1": s1,
+                    "rv": np.concatenate([rv0, rv1]) if len(rv1) else rv0})
+
+
 class _SetSimExploder:
     """Actor-pool stage: rank-encode token lists and explode prefix tokens
     into salted grid cells.
@@ -388,7 +477,7 @@ class _SetSimExploder:
     """
 
     def __init__(self, order_ref, sim_measure_type, threshold, side, num_buckets,
-                 self_mode=False, salt_target=None):
+                 self_mode=False, salt_target=None, emit_heavy=True):
         self.order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
         self.measure = sim_measure_type
         self.threshold = threshold
@@ -396,6 +485,12 @@ class _SetSimExploder:
         self.num_buckets = num_buckets
         self.self_mode = self_mode
         self.salt_target = salt_target
+        # emit_heavy=False (broadcast-ranks mode): the kernel reads rank
+        # arrays from a ray.put table instead of shuffled HEAVY rows, so the
+        # explode emits ONLY light rows and drops the ranks column — the
+        # dominant shuffle payload (ranks shipped once per (record, bucket))
+        # disappears entirely
+        self.emit_heavy = emit_heavy
         # heavy rank payloads dominate the bucket-shuffle bytes; when the
         # vocabulary fits, ship them as uint16 (half of int32) — the kernel's
         # numpy ops are dtype-agnostic (sentinels live in separate int64
@@ -421,29 +516,20 @@ class _SetSimExploder:
         total = int(emit_len.sum())
         keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
         if total == 0:
-            return _empty_exploded(keys.type, self.rank_type)
+            return _empty_exploded(keys.type, self.rank_type, self.emit_heavy)
         first = np.zeros(n, dtype=np.int64)
         np.cumsum(emit_len[:-1], out=first[1:])
         pos = np.arange(total, dtype=np.int64) - first[row_ids]
         ptok = rv[offsets[row_ids] + pos]
         pdf = cv[offsets[row_ids] + pos]
-        ranks_list = pa.LargeListArray.from_arrays(
-            pa.array(offsets, type=pa.int64()),
-            pa.array(rv.astype(self.rank_np), type=self.rank_type))
 
         keyhash = _key_hash(keys)
         rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, pdf,
                                          self.side, self.self_mode,
                                          self.salt_target)
         bucket = _mix_bucket(grp, self.num_buckets)
-        # LIGHT rows drive pair generation (no rank payload); the rank arrays
-        # travel as HEAVY rows (side = -1) exactly ONCE per (record, bucket) —
-        # instead of once per (record, prefix token, grid cell). On long token
-        # sets this shrinks the shuffle several-fold.
         rec_of = row_ids[rep]
-        hb = np.unique(np.stack([rec_of, bucket]), axis=1)
-        h_rows, h_bucket = hb[0], hb[1]
-        light = pa.table({
+        light_cols = {
             "grp": pa.array(grp),
             "ptok": pa.array(ptok[rep]),
             "pos": pa.array(pos[rep].astype(np.int32)),
@@ -451,9 +537,21 @@ class _SetSimExploder:
             "key": keys.take(pa.array(rec_of, type=pa.int64())),
             "size": pa.array(sizes[rec_of].astype(np.int32)),
             "pl": pa.array(pl[rec_of].astype(np.int32)),
-            "ranks": pa.nulls(len(rep), type=pa.large_list(self.rank_type)),
             "bucket": pa.array(bucket),
-        })
+        }
+        if not self.emit_heavy:
+            return pa.table(light_cols)
+        ranks_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(rv.astype(self.rank_np), type=self.rank_type))
+        # LIGHT rows drive pair generation (no rank payload); the rank arrays
+        # travel as HEAVY rows (side = -1) exactly ONCE per (record, bucket) —
+        # instead of once per (record, prefix token, grid cell). On long token
+        # sets this shrinks the shuffle several-fold.
+        hb = np.unique(np.stack([rec_of, bucket]), axis=1)
+        h_rows, h_bucket = hb[0], hb[1]
+        light_cols["ranks"] = pa.nulls(len(rep), type=pa.large_list(self.rank_type))
+        light = pa.table({k: light_cols[k] for k in _EXPL_COLS})
         heavy_side = -1 if self.self_mode else (-1 - self.side)
         heavy = pa.table({
             "grp": pa.array(np.full(len(h_rows), -1, dtype=np.int64)),
@@ -469,8 +567,12 @@ class _SetSimExploder:
         return pa.concat_tables([light, heavy])
 
 
-def _empty_exploded(key_type, rank_type=None):
-    return pa.table({
+_EXPL_COLS = ("grp", "ptok", "pos", "side", "key", "size", "pl", "ranks",
+              "bucket")
+
+
+def _empty_exploded(key_type, rank_type=None, emit_heavy=True):
+    cols = {
         "grp": pa.array([], type=pa.int64()),
         "ptok": pa.array([], type=pa.int64()),
         "pos": pa.array([], type=pa.int32()),
@@ -480,7 +582,10 @@ def _empty_exploded(key_type, rank_type=None):
         "pl": pa.array([], type=pa.int32()),
         "ranks": pa.array([], type=pa.large_list(rank_type or pa.int32())),
         "bucket": pa.array([], type=pa.int64()),
-    })
+    }
+    if not emit_heavy:
+        cols.pop("ranks")
+    return pa.table(cols)
 
 
 class _EditDistExploder:
@@ -667,7 +772,7 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                   out_sim_score=True, n_jobs=1, show_progress=False,
                   self_join=False, num_buckets=None,
                   token_order=None, bucket_range=None, salt_target=None,
-                  out_id=False, prebuilt_exploded=None):
+                  out_id=False, prebuilt_exploded=None, ranks_bcast=None):
     """``token_order``/``bucket_range`` support partitioned-resumable runs
     (rayssj.pipelines): pass a precomputed TokenOrder and restrict the kernel
     stage to buckets in [lo, hi) so each bucket range is an independently
@@ -720,9 +825,16 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
             order = build_token_order(l_tok, r_tok)
         order_ref = ray.put(order)
 
+        est = _ranks_bcast_estimate(order)
+        if est is not None and est <= _BCAST_RANKS_MAX_BYTES:
+            rank_np = np.uint16 if len(order) < 65536 else np.int32
+            ranks_bcast = _build_ranks_broadcast(l_clean, r_clean, order_ref,
+                                                 self_join, rank_np)
+
         expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
                            num_buckets=num_buckets, self_mode=self_join,
-                           salt_target=salt_target)
+                           salt_target=salt_target,
+                           emit_heavy=ranks_bcast is None)
         l_expl = l_clean.map_batches(
             make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
             batch_format="pyarrow", zero_copy_batch=True)
@@ -743,7 +855,8 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
             batch_format="pyarrow", zero_copy_batch=True)
 
     kernel = make_set_sim_bucket_kernel(sim_measure_type, threshold, comp_op,
-                                        self_join=self_join)
+                                        self_join=self_join,
+                                        ranks_ref=ranks_bcast)
     pairs = _bucket_groupby(exploded).map_groups(kernel, batch_format="pyarrow")
 
     extra = []
@@ -798,19 +911,31 @@ def build_set_sim_exploded(ltable, key_attr, join_attr, tokenizer,
     partitions (pass as ``_set_sim_join(prebuilt_exploded=...)``): a
     partitioned-resumable linkage run otherwise re-tokenizes and re-explodes
     the full input per partition and discards all but 1/pair_partitions of
-    the rows (round-1 VERDICT pipeline audit)."""
+    the rows (round-1 VERDICT pipeline audit).
+
+    Returns ``(exploded, ranks_bcast)`` — pass BOTH through to
+    ``_set_sim_join(prebuilt_exploded=..., ranks_bcast=...)`` so the kernel
+    stage matches the explode's heavy/broadcast mode."""
     l_ds = _ensure_parallel(_as_dataset(ltable))
     tk = _clone_tokenizer(tokenizer, return_set=True)
     l_tok = _maybe_cache(_tokenize_stage(l_ds, key_attr, join_attr, tk,
                                          keep_string=False), l_ds)
     l_clean = _drop_missing(l_tok)
     order_ref = ray.put(token_order)
+    ranks_bcast = None
+    est = _ranks_bcast_estimate(token_order)
+    if est is not None and est <= _BCAST_RANKS_MAX_BYTES:
+        rank_np = np.uint16 if len(token_order) < 65536 else np.int32
+        ranks_bcast = _build_ranks_broadcast(l_clean, None, order_ref, True,
+                                             rank_np)
     expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
                        num_buckets=num_buckets, self_mode=True,
-                       salt_target=salt_target)
-    return l_clean.map_batches(
+                       salt_target=salt_target,
+                       emit_heavy=ranks_bcast is None)
+    exploded = l_clean.map_batches(
         make_explode_fn(_SetSimExploder, order_ref, side=0, **expl_kwargs),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return exploded, ranks_bcast
 
 
 def _missing_pair_tables(l_clean, l_tok, r_tok, self_join):

@@ -123,6 +123,72 @@ def _emit_keys(keys: pa.Array, li, ri, normalize: bool):
     return lk, rk
 
 
+_RANKS_BCAST_CACHE: dict = {}
+
+
+def _ranks_bcast_get(ref):
+    """Per-worker-process cache of the broadcast rank table (``ray.get`` of a
+    local object is zero-copy shared memory, but the hex-keyed cache also
+    skips the per-group call overhead)."""
+    import ray
+
+    k = ref.hex()
+    hit = _RANKS_BCAST_CACHE.get(k)
+    if hit is None:
+        if len(_RANKS_BCAST_CACHE) > 3:
+            _RANKS_BCAST_CACHE.clear()
+        hit = ray.get(ref)
+        _RANKS_BCAST_CACHE[k] = hit
+    return hit
+
+
+def _bcast_lookup(side_tab, kh):
+    """Indices of key-hashes ``kh`` in one sorted broadcast side table."""
+    h = side_tab["h"]
+    if len(h) == 0:
+        return np.zeros(len(kh), dtype=np.int64), np.zeros(len(kh), dtype=bool)
+    idx = np.minimum(np.searchsorted(h, kh), len(h) - 1)
+    return idx, h[idx] == kh
+
+
+def _resolve_ranks_broadcast(tbl: pa.Table, ref):
+    """Broadcast-mode counterpart of ``_split_heavy_light``: every group row
+    is a LIGHT pair-gen row; rank slices come from the ``ray.put`` rank table
+    (key-hash sorted, collision-checked at build time) instead of shuffled
+    heavy rows. Returns the same tuple shape.
+    """
+    from rayssj.checkpoint import stable_hash64
+
+    bc = _ranks_bcast_get(ref)
+    keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
+    side = _np(tbl, "side", np.int8)
+    kh = stable_hash64(keys).to_numpy(zero_copy_only=False).view(np.uint64) \
+        .astype(np.int64) % np.int64(2**62)
+    if bc.get("s1") is not None:
+        st = np.zeros(len(kh), dtype=np.int64)
+        ln = np.zeros(len(kh), dtype=np.int64)
+        found = np.zeros(len(kh), dtype=bool)
+        # two-table join: side-1 rank slices are stored appended after side-0's
+        # in one flat values array, so a single ``rv`` serves both sides
+        for s, name in ((0, "s0"), (1, "s1")):
+            sel = np.nonzero(side == s)[0]
+            if len(sel) == 0:
+                continue
+            idx, ok = _bcast_lookup(bc[name], kh[sel])
+            st[sel] = bc[name]["st"][idx]
+            ln[sel] = bc[name]["ln"][idx]
+            found[sel] = ok
+    else:
+        idx, found = _bcast_lookup(bc["s0"], kh)
+        st, ln = bc["s0"]["st"][idx], bc["s0"]["ln"][idx]
+    if not found.all():  # missing key (shouldn't happen) — bail safe
+        keep = pa.array(found)
+        tbl = tbl.filter(keep)
+        keys = keys.filter(keep)
+        side, st, ln = side[found], st[found], ln[found]
+    return tbl, keys, side, st, ln, bc["rv"]
+
+
 def _split_heavy_light(tbl: pa.Table):
     """Split a bucket group into LIGHT pair-gen rows and HEAVY rank-payload
     rows (side < 0), and map each light row to its heavy rank slice.
@@ -247,7 +313,8 @@ def _member_matrices(rv, starts, lens, mem, pl, build_prefix=True):
 
 
 def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
-                               comp_op: str, self_join: bool):
+                               comp_op: str, self_join: bool,
+                               ranks_ref=None):
     """Kernel factory for one groupby("bucket") stage of a set-sim join.
 
     Input group schema: ptok:int64, pos:int32, side:int8, key:any, size:int32,
@@ -272,10 +339,13 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
                           "_sim_score": pa.array([], type=pa.float64())})
         if tbl.num_rows < 2:
             return empty
-        parts = _split_heavy_light(tbl)
+        parts = (_resolve_ranks_broadcast(tbl, ranks_ref)
+                 if ranks_ref is not None else _split_heavy_light(tbl))
         if parts is None:
             return empty
         tbl_l, keys, side, st, ln, rv = parts
+        if len(tbl_l) < 2:
+            return empty
 
         ptok = _np(tbl_l, "ptok")
         size = _np(tbl_l, "size")
@@ -591,7 +661,8 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
 
 
 def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
-                              threshold: float, self_join: bool):
+                              threshold: float, self_join: bool,
+                              ranks_ref=None):
     """Bucket kernel for PrefixFilter / PositionFilter ``filter_tables``
     (SURVEY.md §2 #10, #11): emits candidate pairs WITHOUT verification.
 
@@ -608,10 +679,13 @@ def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
                           "r_key": pa.array([], type=key_type)})
         if tbl.num_rows < 2:
             return empty
-        parts = _split_heavy_light(tbl)
+        parts = (_resolve_ranks_broadcast(tbl, ranks_ref)
+                 if ranks_ref is not None else _split_heavy_light(tbl))
         if parts is None:
             return empty
         tbl_l, keys, side, st, ln, rv = parts
+        if len(tbl_l) < 2:
+            return empty
         ptok = _np(tbl_l, "ptok")
         size = _np(tbl_l, "size")
         pl = _np(tbl_l, "pl")

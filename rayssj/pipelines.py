@@ -127,14 +127,14 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
     per = num_buckets // pair_partitions
     t0 = time.time()
     todo = [i for i in range(pair_partitions) if i not in done]
-    exploded_all = None
+    exploded_all = ranks_bcast = None
     if len(todo) > 1:
         # explode ONCE and reuse across partitions (the per-partition join
         # would otherwise redo tokenize+explode of the full input and keep
         # only its bucket range)
         from rayssj.joins import build_set_sim_exploded
 
-        exploded_all = build_set_sim_exploded(
+        exploded_all, ranks_bcast = build_set_sim_exploded(
             extracted, key_col, text_col, tokenizer, "JACCARD", threshold,
             num_buckets, order)
     for i in todo:
@@ -145,7 +145,7 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
             extracted, None, key_col, key_col, text_col, text_col, tokenizer,
             "JACCARD", threshold, self_join=True, num_buckets=num_buckets,
             token_order=order, bucket_range=(lo, hi),
-            prebuilt_exploded=exploded_all)
+            prebuilt_exploded=exploded_all, ranks_bcast=ranks_bcast)
         _write_atomic(pairs, part_dir)
         manifest.record(i, rows=_rows_in(part_dir), fingerprint=fp,
                         version=PIPELINE_VERSION, wall_s=time.time() - tpart)

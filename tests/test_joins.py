@@ -205,3 +205,26 @@ def test_out_id_dense():
     base = jaccard_join(A, B, "ID", "ID", "name", "name",
                         WhitespaceTokenizer(), 0.3).to_pandas()
     assert len(base) == len(out) > 0
+
+
+def test_broadcast_vs_heavy_rank_modes_identical(monkeypatch):
+    """The broadcast-ranks kernel path (rank arrays via ray.put lookup) must
+    emit exactly the heavy-row shuffle path's pairs — two-table AND self-join,
+    including null/empty-string edge rows."""
+    import rayssj.joins as J
+
+    A, B = make_tables()
+    tok = WhitespaceTokenizer()
+
+    def run(cap):
+        monkeypatch.setattr(J, "_BCAST_RANKS_MAX_BYTES", cap)
+        two = jaccard_join(A, B, "ID", "ID", "name", "name", tok, 0.3).to_pandas()
+        slf = cosine_join(A, None, "ID", "ID", "name", "name", tok, 0.5,
+                          self_join=True).to_pandas()
+        return (result_pair_set(two, "l_ID", "r_ID"),
+                result_pair_set(slf, "l_ID", "r_ID"))
+
+    bc_two, bc_slf = run(1 << 30)
+    hv_two, hv_slf = run(0)
+    assert bc_two == hv_two and len(bc_two) > 0
+    assert bc_slf == hv_slf and len(bc_slf) > 0
