@@ -30,7 +30,7 @@ from rayssj.joins import (
     _as_dataset,
     _clone_tokenizer,
     _drop_missing,
-    _missing_pair_tables,
+    _missing_pair_datasets,
     _tokenize_stage,
 )
 from rayssj.kernels import make_filter_bucket_kernel, make_set_sim_bucket_kernel
@@ -196,8 +196,8 @@ class _BaseFilter:
         if "_sim_score" in pairs.schema().names:
             pairs = pairs.drop_columns(["_sim_score"])
         if allow_missing:
-            for tbl in _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
-                pairs = pairs.union(rd.from_arrow(tbl.drop_columns(["_sim_score"])))
+            for mds in _missing_pair_datasets(l_clean, l_tok, r_tok, self_join):
+                pairs = pairs.union(mds.drop_columns(["_sim_score"]))
         return _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
                              l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
                              out_sim_score=False, num_buckets=num_buckets)
@@ -436,8 +436,8 @@ class SizeFilter(_SimMeasureFilter):
         pairs = l_sz.union(r_sz).groupby("gsize").map_groups(
             pair_kernel, batch_format="pyarrow")
         if self.allow_missing:
-            for tbl in _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
-                pairs = pairs.union(rd.from_arrow(tbl.drop_columns(["_sim_score"])))
+            for mds in _missing_pair_datasets(l_clean, l_tok, r_tok, self_join):
+                pairs = pairs.union(mds.drop_columns(["_sim_score"]))
         return _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
                              l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
                              out_sim_score=False, num_buckets=num_buckets)

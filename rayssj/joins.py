@@ -450,6 +450,87 @@ def _collect_rank_side(clean_ds, order_ref, rank_np):
     return {"h": h, "st": offs[:-1][sortix], "ln": lens[sortix]}, rv
 
 
+def _distinct_sorted_lists(rv, lengths):
+    """Dedup each row's slice of a flat rank-sorted bag. Returns
+    (values, offsets) of the distinct sorted lists."""
+    n = len(lengths)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    all_rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    dup = np.zeros(len(rv), dtype=bool)
+    dup[1:] = (all_rows[1:] == all_rows[:-1]) & (rv[1:] == rv[:-1])
+    g_rows = all_rows[~dup]
+    g_vals = rv[~dup]
+    g_counts = np.bincount(g_rows, minlength=n)
+    g_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(g_counts, out=g_off[1:])
+    return g_vals, g_off, g_counts
+
+
+def _encode_ed_fn(order_ref):
+    """(key, grams: distinct sorted gram ranks, s) per record — the
+    edit-distance broadcast payload."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        order = _cached_order(order_ref)
+        rv, _, lengths = order.encode(batch[TOKENS_COL])
+        g_vals, g_off, _ = _distinct_sorted_lists(rv, lengths)
+        grams = pa.LargeListArray.from_arrays(
+            pa.array(g_off, type=pa.int64()),
+            pa.array(g_vals.astype(np.int32), type=pa.int32()))
+        return pa.table({"key": batch["key"], "ranks": grams,
+                         "s": batch["s"]})
+
+    return fn
+
+
+def _collect_ed_side(clean_ds, order_ref):
+    """ED broadcast side: sorted key-hashes, gram slices, strings (aligned to
+    the hash order)."""
+    mat = clean_ds.map_batches(_encode_ed_fn(order_ref),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    tbls = [t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    if not tbls:
+        z = np.array([], dtype=np.int64)
+        return {"h": z, "st": z, "ln": z, "sbase": 0}, \
+            np.array([], dtype=np.int32), pa.array([], type=pa.string())
+    tbl = pa.concat_tables(tbls)
+    keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
+    kh = _key_hash(keys)
+    ranks = tbl["ranks"].combine_chunks() if isinstance(tbl["ranks"], pa.ChunkedArray) else tbl["ranks"]
+    rv = ranks.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(ranks).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    sortix = np.argsort(kh, kind="stable")
+    h = kh[sortix]
+    if len(h) > 1 and (h[1:] == h[:-1]).any():
+        return None, None, None
+    strs = tbl["s"].combine_chunks() if isinstance(tbl["s"], pa.ChunkedArray) else tbl["s"]
+    strs = strs.take(pa.array(sortix, type=pa.int64()))
+    return {"h": h, "st": offs[:-1][sortix], "ln": lens[sortix],
+            "sbase": 0}, rv, strs
+
+
+def _build_ed_broadcast(l_clean, r_clean, order_ref, self_join):
+    """ray.put the ED gram/string table, or None on hash collision."""
+    s0, rv0, strs0 = _collect_ed_side(l_clean, order_ref)
+    if s0 is None:
+        return None
+    if self_join:
+        return ray.put({"s0": s0, "s1": None, "rv": rv0, "strs": strs0})
+    s1, rv1, strs1 = _collect_ed_side(r_clean, order_ref)
+    if s1 is None:
+        return None
+    s1 = {"h": s1["h"], "st": s1["st"] + len(rv0), "ln": s1["ln"],
+          "sbase": len(strs0)}
+    strs = pa.concat_arrays([strs0, strs1]) if len(strs1) else strs0
+    rv = np.concatenate([rv0, rv1]) if len(rv1) else rv0
+    return ray.put({"s0": s0, "s1": s1, "rv": rv, "strs": strs})
+
+
 def _build_ranks_broadcast(l_clean, r_clean, order_ref, self_join, rank_np):
     """ray.put one rank table for the kernels, or None on hash collision."""
     s0, rv0 = _collect_rank_side(l_clean, order_ref, rank_np)
@@ -592,7 +673,7 @@ class _EditDistExploder:
     """Explode distinct ordered-prefix q-grams for the edit-distance join."""
 
     def __init__(self, order_ref, qval, threshold, side, num_buckets,
-                 self_mode=False, salt_target=None):
+                 self_mode=False, salt_target=None, emit_heavy=True):
         self.order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
         self.qval = qval
         self.threshold = threshold
@@ -600,6 +681,9 @@ class _EditDistExploder:
         self.num_buckets = num_buckets
         self.self_mode = self_mode
         self.salt_target = salt_target
+        # emit_heavy=False (broadcast mode): grams + string travel once via
+        # ray.put instead of once per (record, prefix gram, cell) row
+        self.emit_heavy = emit_heavy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = self.order
@@ -612,20 +696,14 @@ class _EditDistExploder:
         slens = pc.utf8_length(strs).to_numpy(zero_copy_only=False).astype(np.int64)
         keys = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
         if n == 0 or int(pl.sum()) == 0:
-            return _empty_ed_exploded(keys.type)
+            return _empty_ed_exploded(keys.type, self.emit_heavy)
 
         # distinct full-gram set per row (dedup the sorted bag)
-        all_rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        dup = np.zeros(len(rv), dtype=bool)
-        dup[1:] = (all_rows[1:] == all_rows[:-1]) & (rv[1:] == rv[:-1])
-        g_rows = all_rows[~dup]
-        g_vals = rv[~dup]
-        g_counts = np.bincount(g_rows, minlength=n)
-        g_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(g_counts, out=g_off[1:])
-        grams_list = pa.ListArray.from_arrays(
-            pa.array(g_off, type=pa.int64()), pa.array(g_vals, type=pa.int64()),
-        ).cast(pa.large_list(pa.int64()))
+        g_vals, g_off, g_counts = _distinct_sorted_lists(rv, lengths)
+        if self.emit_heavy:
+            grams_list = pa.ListArray.from_arrays(
+                pa.array(g_off, type=pa.int64()), pa.array(g_vals, type=pa.int64()),
+            ).cast(pa.large_list(pa.int64()))
 
         # distinct PREFIX ranks per row (prefix slice of the sorted bag)
         first = np.zeros(n, dtype=np.int64)
@@ -653,7 +731,7 @@ class _EditDistExploder:
                                          self.side, self.self_mode,
                                          self.salt_target)
         take_idx = pa.array(row_ids[rep], type=pa.int64())
-        return pa.table({
+        cols = {
             "grp": pa.array(grp),
             "ptok": pa.array(ptok[rep]),
             "side": pa.array(out_side),
@@ -661,14 +739,21 @@ class _EditDistExploder:
             "slen": pa.array(slens[row_ids][rep].astype(np.int32)),
             "dsize": pa.array(g_counts[row_ids][rep].astype(np.int32)),
             "ranks": pref_list.take(take_idx),
-            "grams": grams_list.take(take_idx),
-            "s": strs.take(take_idx),
             "bucket": pa.array(_mix_bucket(grp, self.num_buckets)),
-        })
+        }
+        if self.emit_heavy:
+            cols["grams"] = grams_list.take(take_idx)
+            cols["s"] = strs.take(take_idx)
+            cols = {k: cols[k] for k in _ED_EXPL_COLS}
+        return pa.table(cols)
 
 
-def _empty_ed_exploded(key_type):
-    return pa.table({
+_ED_EXPL_COLS = ("grp", "ptok", "side", "key", "slen", "dsize", "ranks",
+                 "grams", "s", "bucket")
+
+
+def _empty_ed_exploded(key_type, emit_heavy=True):
+    cols = {
         "grp": pa.array([], type=pa.int64()),
         "ptok": pa.array([], type=pa.int64()),
         "side": pa.array([], type=pa.int8()),
@@ -679,7 +764,11 @@ def _empty_ed_exploded(key_type):
         "grams": pa.array([], type=pa.large_list(pa.int64())),
         "s": pa.array([], type=pa.string()),
         "bucket": pa.array([], type=pa.int64()),
-    })
+    }
+    if not emit_heavy:
+        cols.pop("grams")
+        cols.pop("s")
+    return pa.table(cols)
 
 
 def _empty_token_keys(tok_ds):
@@ -700,10 +789,6 @@ def _missing_keys(tok_ds):
 
     return [r["key"] for r in
             tok_ds.map_batches(fn, batch_format="pyarrow").take_all()]
-
-
-def _all_keys(tok_ds):
-    return [r["key"] for r in tok_ds.select_columns(["key"]).take_all()]
 
 
 def _pairs_table(l_keys, r_keys, scores) -> pa.Table:
@@ -889,10 +974,11 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
                     ek_r.append(b)
         if ek_l:
             extra.append(_pairs_table(ek_l, ek_r, [1.0] * len(ek_l)))
-    if allow_missing and order.n_missing > 0 and first_range:
-        extra.extend(_missing_pair_tables(l_clean, l_tok, r_tok, self_join))
     for tbl in extra:
         pairs = pairs.union(rd.from_arrow(tbl))
+    if allow_missing and order.n_missing > 0 and first_range:
+        for mds in _missing_pair_datasets(l_clean, l_tok, r_tok, self_join):
+            pairs = pairs.union(mds)
 
     out = _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
                         l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,
@@ -938,28 +1024,44 @@ def build_set_sim_exploded(ltable, key_attr, join_attr, tokenizer,
     return exploded, ranks_bcast
 
 
-def _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
+def _missing_pair_datasets(l_clean, l_tok, r_tok, self_join):
     """allow_missing: (missing_l × all_r) ∪ (nonmissing_l × missing_r), NaN
-    scores [ref: utils/missing_value_handler.py:~15 †U]. Missing keys are
-    collected to the driver (bounded side path, SURVEY.md §7.4)."""
-    out = []
+    scores [ref: utils/missing_value_handler.py:~15 †U]. Only the MISSING key
+    lists are driver-held (the bounded side, SURVEY.md §7.4); the "all" /
+    "nonmissing" sides STREAM — each output batch is a broadcast-fixed ×
+    streamed-batch cross product, so a few missing rows against a billion-row
+    table never materialize on the driver."""
     l_missing = _missing_keys(l_tok)
     r_missing = l_missing if self_join else _missing_keys(r_tok)
+    outs = []
     if not l_missing and not r_missing:
-        return out
-    r_all = _all_keys(r_tok if not self_join else l_tok)
-    l_nonmissing = _all_keys(l_clean)
-    nan = float("nan")
+        return outs
+
+    def cross(fixed_keys, stream_ds, fixed_on_left):
+        fixed_arr = pa.array(fixed_keys)
+
+        def fn(t: pa.Table) -> pa.Table:
+            ks = t["key"].combine_chunks() if isinstance(t["key"], pa.ChunkedArray) else t["key"]
+            m, n = len(fixed_arr), len(ks)
+            f = fixed_arr.take(pa.array(np.repeat(np.arange(m, dtype=np.int64), n)))
+            s = ks.take(pa.array(np.tile(np.arange(n, dtype=np.int64), m)))
+            lk, rk = (f, s) if fixed_on_left else (s, f)
+            return pa.table({"l_key": lk, "r_key": rk,
+                             "_sim_score": pa.array(
+                                 np.full(m * n, np.nan), type=pa.float64())})
+
+        # trailing scrub (explicit batch_size) drops empty pass-through
+        # blocks whose schema would still be ("key",)
+        return (stream_ds.select_columns(["key"])
+                .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+                .map_batches(lambda t: t, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=1 << 18))
+
     if l_missing:
-        lk = [a for a in l_missing for _ in r_all]
-        rk = [b for _ in l_missing for b in r_all]
-        out.append(_pairs_table(lk, rk, [nan] * len(lk)))
+        outs.append(cross(l_missing, l_tok if self_join else r_tok, True))
     if r_missing:
-        lk = [a for a in l_nonmissing for _ in r_missing]
-        rk = [b for _ in l_nonmissing for b in r_missing]
-        if lk:
-            out.append(_pairs_table(lk, rk, [nan] * len(lk)))
-    return out
+        outs.append(cross(r_missing, l_clean, False))
+    return outs
 
 
 def jaccard_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
@@ -1050,8 +1152,16 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
     order = build_token_order(l_tok) if self_join else build_token_order(l_tok, r_tok)
     order_ref = ray.put(order)
 
+    ranks_bcast = None
+    est = _ranks_bcast_estimate(order)
+    if est is not None and est * 3 <= _BCAST_RANKS_MAX_BYTES:
+        # x3: the ED broadcast also carries the raw strings
+        ranks_bcast = _build_ed_broadcast(l_clean, r_clean, order_ref,
+                                          self_join)
+
     expl_kwargs = dict(qval=tk.qval, threshold=threshold, num_buckets=num_buckets,
-                       self_mode=self_join, salt_target=salt_target)
+                       self_mode=self_join, salt_target=salt_target,
+                       emit_heavy=ranks_bcast is None)
     l_expl = l_clean.map_batches(
         make_explode_fn(_EditDistExploder, order_ref, side=0, **expl_kwargs),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -1063,12 +1173,13 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
             batch_format="pyarrow", zero_copy_batch=True)
         exploded = l_expl.union(r_expl)
 
-    kernel = make_edit_distance_bucket_kernel(threshold, comp_op, self_join=self_join, qval=tk.qval)
+    kernel = make_edit_distance_bucket_kernel(threshold, comp_op, self_join=self_join, qval=tk.qval,
+                                              ranks_ref=ranks_bcast)
     pairs = _bucket_groupby(exploded).map_groups(kernel, batch_format="pyarrow")
 
     if allow_missing and order.n_missing > 0:
-        for tbl in _missing_pair_tables(l_clean, l_tok, r_tok, self_join):
-            pairs = pairs.union(rd.from_arrow(tbl))
+        for mds in _missing_pair_datasets(l_clean, l_tok, r_tok, self_join):
+            pairs = pairs.union(mds)
 
     out = _shape_output(pairs, l_ds, r_ds, l_key_attr, r_key_attr,
                         l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix,

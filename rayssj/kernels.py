@@ -189,6 +189,33 @@ def _resolve_ranks_broadcast(tbl: pa.Table, ref):
     return tbl, keys, side, st, ln, bc["rv"]
 
 
+def _resolve_ed_broadcast(tbl: pa.Table, ref):
+    """Edit-distance broadcast lookup: per-row (gram slice starts/lens into
+    the shared flat gram array, string take-indices). Rows whose key is
+    missing from the table (shouldn't happen) get ln=0 / sidx=0 — they can
+    never produce a candidate because their gram sets read as empty."""
+    from rayssj.checkpoint import stable_hash64
+
+    bc = _ranks_bcast_get(ref)
+    keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
+    side = _np(tbl, "side", np.int8)
+    kh = stable_hash64(keys).to_numpy(zero_copy_only=False).view(np.uint64) \
+        .astype(np.int64) % np.int64(2**62)
+    st = np.zeros(len(kh), dtype=np.int64)
+    ln = np.zeros(len(kh), dtype=np.int64)
+    sidx = np.zeros(len(kh), dtype=np.int64)
+    sides = ((0, "s0"), (1, "s1")) if bc.get("s1") is not None else ((None, "s0"),)
+    for s, name in sides:
+        sel = np.arange(len(kh)) if s is None else np.nonzero(side == s)[0]
+        if len(sel) == 0:
+            continue
+        idx, ok = _bcast_lookup(bc[name], kh[sel])
+        st[sel] = np.where(ok, bc[name]["st"][idx], 0)
+        ln[sel] = np.where(ok, bc[name]["ln"][idx], 0)
+        sidx[sel] = np.where(ok, bc[name]["sbase"] + idx, 0)
+    return bc["rv"], st, ln, bc["strs"], sidx
+
+
 def _split_heavy_light(tbl: pa.Table):
     """Split a bucket group into LIGHT pair-gen rows and HEAVY rank-payload
     rows (side < 0), and map each light row to its heavy rank slice.
@@ -539,7 +566,8 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
 
 
 def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
-                                     self_join: bool, qval: int = 2):
+                                     self_join: bool, qval: int = 2,
+                                     ranks_ref=None):
     """Kernel for one bucket of the edit-distance join.
 
     Input group schema: ptok:int64, side:int8, key:any, slen:int32,
@@ -570,10 +598,15 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
         slen = _np(tbl, "slen")
         dsize = _np(tbl, "dsize")
         pv, po = _list_col_parts(tbl, "ranks")    # prefix sets
-        gv, go = _list_col_parts(tbl, "grams")    # full distinct sets
         pv_st, pv_ln = po[:-1], np.diff(po)
-        gv_st, gv_ln = go[:-1], np.diff(go)
-        strs = tbl["s"].combine_chunks() if isinstance(tbl["s"], pa.ChunkedArray) else tbl["s"]
+        if ranks_ref is not None:
+            gv, gv_st, gv_ln, strs_all, sidx = _resolve_ed_broadcast(tbl, ranks_ref)
+            strs = strs_all.take(pa.array(sidx, type=pa.int64()))
+            go = None
+        else:
+            gv, go = _list_col_parts(tbl, "grams")    # full distinct sets
+            gv_st, gv_ln = go[:-1], np.diff(go)
+            strs = tbl["s"].combine_chunks() if isinstance(tbl["s"], pa.ChunkedArray) else tbl["s"]
 
         grp = _np(tbl, "grp")
         cand_l, cand_r = [], []
@@ -594,7 +627,8 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                                              assume_unique=True)
                 if len(shared_pref) == 0 or shared_pref[0] != w:
                     continue
-                ov = len(np.intersect1d(gv[go[a]:go[a + 1]], gv[go[b]:go[b + 1]],
+                ov = len(np.intersect1d(gv[gv_st[a]:gv_st[a] + gv_ln[a]],
+                                        gv[gv_st[b]:gv_st[b] + gv_ln[b]],
                                         assume_unique=True))
                 if ov < max(dsize[a], dsize[b]) - qt:
                     continue

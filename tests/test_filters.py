@@ -189,3 +189,18 @@ def test_null_heavy_tiny_tables_end_to_end():
                        l_out_attrs=["name"], r_out_attrs=["name"]).to_pandas()
     assert set(zip(out["l_ID"], out["r_ID"])) == {("a1", "b7"), ("a3", "b7")}
     assert set(out.columns) == {"l_ID", "r_ID", "l_name", "r_name", "_sim_score"}
+
+
+def test_filter_tables_allow_missing_streamed():
+    """allow_missing filter_tables: missing-side pairs arrive via the
+    streamed cross-product datasets (no driver-side all-keys collect)."""
+    A = pd.DataFrame({"ID": ["a1", "a2", "a3"],
+                      "name": ["x y z", None, "p q"]})
+    B = pd.DataFrame({"ID": ["b1", "b2"],
+                      "name": ["x y z", None]})
+    f = OverlapFilter(TOK, 1, allow_missing=True)
+    out = f.filter_tables(A, B, "ID", "ID", "name", "name").to_pandas()
+    got = set(zip(out["l_ID"], out["r_ID"]))
+    # a2 (missing) x all B; all nonmissing A x b2 (missing); plus real overlap
+    assert {("a2", "b1"), ("a2", "b2"), ("a1", "b2"), ("a3", "b2"),
+            ("a1", "b1")} == got

@@ -228,3 +228,25 @@ def test_broadcast_vs_heavy_rank_modes_identical(monkeypatch):
     hv_two, hv_slf = run(0)
     assert bc_two == hv_two and len(bc_two) > 0
     assert bc_slf == hv_slf and len(bc_slf) > 0
+
+
+def test_ed_broadcast_vs_heavy_modes_identical(monkeypatch):
+    """Edit-distance broadcast mode (grams+strings via ray.put lookup) must
+    match the per-row payload path exactly."""
+    import rayssj.joins as J
+
+    A, B = make_tables()
+    tok = QgramTokenizer(2)
+
+    def run(cap):
+        monkeypatch.setattr(J, "_BCAST_RANKS_MAX_BYTES", cap)
+        two = edit_distance_join(A, B, "ID", "ID", "name", "name", tok, 3).to_pandas()
+        slf = edit_distance_join(A, None, "ID", "ID", "name", "name", tok, 2,
+                                 self_join=True).to_pandas()
+        return (result_pair_set(two, "l_ID", "r_ID"),
+                result_pair_set(slf, "l_ID", "r_ID"))
+
+    bc_two, bc_slf = run(1 << 30)
+    hv_two, hv_slf = run(0)
+    assert bc_two == hv_two and len(bc_two) > 0
+    assert bc_slf == hv_slf
