@@ -377,6 +377,27 @@ def _mix_bucket(grp: np.ndarray, num_buckets: int) -> np.ndarray:
     v ^= v >> np.uint64(31)
     return (v % np.uint64(num_buckets)).astype(np.int64)
 
+
+_LOAD_CLASSES = 6  # factor-4 expected-cell-row bands
+
+
+def _load_ordered_bucket(grp: np.ndarray, num_buckets: int,
+                         cell_rows: np.ndarray) -> np.ndarray:
+    """Class-major bucket ids: cells in heavier load classes get LOWER ids.
+
+    Kernel work per cell is ~quadratic in its row count, but the sort-range
+    partitioner balances ROWS — so a partition holding one monster cell costs
+    several times its peers and, scheduled late, becomes the straggler that
+    sets the stage makespan. Classing the bucket id by expected cell rows
+    (factor-4 bands; heaviest class first) makes partitions work-homogeneous
+    and schedules the expensive ones first, leaving a cheap tail. The id
+    range stays [0, num_buckets), so resumable bucket-range partitioning
+    (pipelines) is unaffected."""
+    w = max(num_buckets // _LOAD_CLASSES, 1)
+    cls = np.log2(np.maximum(cell_rows, 1)).astype(np.int64) // 2
+    cls = np.clip(cls, 0, _LOAD_CLASSES - 1)
+    return (_LOAD_CLASSES - 1 - cls) * w + _mix_bucket(grp, w)
+
 def _key_hash(keys: pa.Array) -> np.ndarray:
     from rayssj.checkpoint import stable_hash64
 
@@ -608,7 +629,10 @@ class _SetSimExploder:
         rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, pdf,
                                          self.side, self.self_mode,
                                          self.salt_target)
-        bucket = _mix_bucket(grp, self.num_buckets)
+        tgt = self.salt_target or SALT_TARGET
+        s = np.clip((pdf + tgt - 1) // tgt, 1, SALT_MAX)
+        cell_rows = np.maximum(pdf // s, 1)
+        bucket = _load_ordered_bucket(grp, self.num_buckets, cell_rows[rep])
         rec_of = row_ids[rep]
         light_cols = {
             "grp": pa.array(grp),
@@ -730,6 +754,9 @@ class _EditDistExploder:
         rep, grp, out_side = _salt_cells(ptok, row_ids, keyhash, pdf,
                                          self.side, self.self_mode,
                                          self.salt_target)
+        tgt = self.salt_target or SALT_TARGET
+        s = np.clip((pdf + tgt - 1) // tgt, 1, SALT_MAX)
+        cell_rows = np.maximum(pdf // s, 1)
         take_idx = pa.array(row_ids[rep], type=pa.int64())
         cols = {
             "grp": pa.array(grp),
@@ -739,7 +766,8 @@ class _EditDistExploder:
             "slen": pa.array(slens[row_ids][rep].astype(np.int32)),
             "dsize": pa.array(g_counts[row_ids][rep].astype(np.int32)),
             "ranks": pref_list.take(take_idx),
-            "bucket": pa.array(_mix_bucket(grp, self.num_buckets)),
+            "bucket": pa.array(_load_ordered_bucket(grp, self.num_buckets,
+                                                    cell_rows[rep])),
         }
         if self.emit_heavy:
             cols["grams"] = grams_list.take(take_idx)
