@@ -39,6 +39,10 @@ def _write_atomic(ds_or_df, part_dir: str):
     import ray.data as rd
 
     if isinstance(ds_or_df, rd.Dataset):
+        # an empty partition (a bucket range with no occupied buckets) writes
+        # zero files and write_parquet may not create the directory itself —
+        # the atomic rename below still needs the tmp dir to exist
+        os.makedirs(tmp, exist_ok=True)
         ds_or_df.write_parquet(tmp)
     else:
         os.makedirs(tmp, exist_ok=True)
