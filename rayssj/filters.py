@@ -143,7 +143,8 @@ class _BaseFilter:
 
         from rayssj.joins import _ensure_parallel, default_num_buckets
 
-        if num_buckets is None:
+        auto_buckets = num_buckets is None
+        if auto_buckets:
             num_buckets = default_num_buckets()
 
         l_raw = _as_dataset(ltable)
@@ -178,6 +179,10 @@ class _BaseFilter:
             rank_np = np.uint16 if len(order) < 65536 else np.int32
             ranks_bcast = _build_ranks_broadcast(l_clean, r_clean, order_ref,
                                                  self_join, rank_np)
+        if ranks_bcast is not None and auto_buckets:
+            from rayssj.joins import bcast_num_buckets
+
+            num_buckets = bcast_num_buckets(order)
         expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
                            num_buckets=num_buckets, self_mode=self_join,
                            emit_heavy=ranks_bcast is None)

@@ -64,6 +64,31 @@ def default_num_buckets() -> int:
     return int(min(max(cpus * 6, DEFAULT_NUM_BUCKETS), _MAX_NUM_BUCKETS))
 
 
+# Broadcast-ranks mode: light rows ship once regardless of the bucket count
+# (no heavy-row payload duplication), so buckets are nearly free — size them
+# from the DATA so the heaviest load class spreads across enough groups that
+# no single group dominates the stage makespan. Calibrated on the 8x sf0.1
+# scaling job (5.86M gram occurrences) at 32 CPUs: NB=192 (cpu-scaled
+# default) wall 354s — one 2M-row heavy-class group ran 104s single-threaded;
+# NB=1536 134s; NB=4096 123s; NB=8192 157s (per-group overhead).
+_BCAST_OCC_PER_BUCKET = 1500
+
+
+def bcast_num_buckets(order) -> int:
+    """Data-driven bucket count for broadcast-ranks joins: one bucket per
+    ~_BCAST_OCC_PER_BUCKET token occurrences, floored at the cpu-scaled
+    default and capped at _MAX_NUM_BUCKETS. Intentionally independent of the
+    cluster size above the floor — the same corpus gets the same kernel task
+    granularity at every parallelism level."""
+    env = int(os.environ.get("RAYSSJ_NUM_BUCKETS", "0"))
+    if env:
+        return env
+    counts = getattr(order, "counts", None)
+    occ = int(counts.sum()) if counts is not None else 0
+    return int(min(max(occ // _BCAST_OCC_PER_BUCKET, default_num_buckets()),
+                   _MAX_NUM_BUCKETS))
+
+
 def join_num_partitions() -> int:
     """Partition count for Dataset.join (hash-shuffle aggregator actors):
     scale with cluster CPUs — 64 aggregators on a 4-CPU local cluster would
@@ -895,7 +920,8 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
     (see build_set_sim_exploded)."""
     import ray.data as rd
 
-    if num_buckets is None:
+    auto_buckets = num_buckets is None
+    if auto_buckets:
         num_buckets = default_num_buckets()
     # validate on the RAW datasets: repartition of an empty dataset loses the
     # schema (Dataset.schema() -> None), which would break attr validation
@@ -943,6 +969,8 @@ def _set_sim_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_at
             rank_np = np.uint16 if len(order) < 65536 else np.int32
             ranks_bcast = _build_ranks_broadcast(l_clean, r_clean, order_ref,
                                                  self_join, rank_np)
+        if ranks_bcast is not None and auto_buckets:
+            num_buckets = bcast_num_buckets(order)
 
         expl_kwargs = dict(sim_measure_type=sim_measure_type, threshold=threshold,
                            num_buckets=num_buckets, self_mode=self_join,
@@ -1154,7 +1182,8 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
     """
     import ray.data as rd
 
-    if num_buckets is None:
+    auto_buckets = num_buckets is None
+    if auto_buckets:
         num_buckets = default_num_buckets()
     l_raw = _as_dataset(ltable)
     r_raw = l_raw if self_join else _as_dataset(rtable)
@@ -1186,6 +1215,8 @@ def edit_distance_join(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
         # x3: the ED broadcast also carries the raw strings
         ranks_bcast = _build_ed_broadcast(l_clean, r_clean, order_ref,
                                           self_join)
+    if ranks_bcast is not None and auto_buckets:
+        num_buckets = bcast_num_buckets(order)
 
     expl_kwargs = dict(qval=tk.qval, threshold=threshold, num_buckets=num_buckets,
                        self_mode=self_join, salt_target=salt_target,
