@@ -318,8 +318,12 @@ def _membership(vals, rows, n_mem, vocab=None):
     """(vocab, M): M[i, v] = 1 iff vocab[v] among member i's values; float32
     so pairwise overlap is one BLAS matmul."""
     if vocab is None:
+        # NOTE: unique + searchsorted measured FASTER than
+        # unique(return_inverse=True) (inverse pays an argsort)
         vocab = np.unique(vals)
-    col = np.searchsorted(vocab, vals)
+        col = np.searchsorted(vocab, vals)
+    else:
+        col = np.searchsorted(vocab, vals)
     M = np.zeros((n_mem, len(vocab)), dtype=np.float32)
     M[rows, col] = 1.0
     return vocab, M
@@ -420,7 +424,12 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
                 emit(li[keep], ri[keep], sim[keep])
 
         def _pairs_overlap(li, ri):
-            """Per-pair exact overlap on sorted rank slices (sparse survivors)."""
+            """Per-pair exact overlap on sorted rank slices (sparse survivors).
+
+            NOTE: the per-pair ``intersect1d`` loop measured FASTER than both a
+            flat lexsort-and-count formulation (~10x) and a per-pair
+            searchsorted probe (~1.5x) at the survivor sizes this path sees
+            (<6000 pairs/tile, slices of a few hundred ranks)."""
             ov = np.empty(len(li), dtype=np.int64)
             for k in range(len(li)):
                 a = rv[st[li[k]]:st[li[k]] + ln[li[k]]]
@@ -434,38 +443,42 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             gl, gr = g[l_loc], g[r_loc]
             sz_l_all, sz_r = size[gl], size[gr]
             pos_l_all, pos_r = pos[gl], pos[gr]
+            nr = len(gr)
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                # triu cells: slice off columns j <= i0 (see _big_group)
+                j0 = i0 + 1 if triu else 0
+                if j0 >= nr:
+                    continue
                 lc = l_loc[i0:i1]
                 n1 = sz_l_all[i0:i1][:, None]
                 w_in_pref_l = (P[lc, w_idx] > 0)[:, None]
-                for j0 in range(0, len(gr), _PAIR_CHUNK_COLS):
-                    j1 = min(j0 + _PAIR_CHUNK_COLS, len(gr))
-                    rc = r_loc[j0:j1]
-                    F = M[lc] @ M[rc].T  # exact pairwise overlap counts
-                    n2 = sz_r[j0:j1][None, :]
-                    ot = get_overlap_threshold(n1, n2, sim_measure_type, threshold)
-                    mask = np.minimum(n1, n2) >= ot
-                    ub = 1 + np.minimum(n1 - pos_l_all[i0:i1][:, None] - 1,
-                                        n2 - pos_r[j0:j1][None, :] - 1)
-                    mask &= ub >= ot
-                    if triu:
-                        mask &= (np.arange(i0, i1)[:, None] <
-                                 np.arange(j0, j1)[None, :])
-                    # prefix(small) x full(large): two asymmetric matmuls
-                    S_pf = P[lc, :w_idx] @ M[rc, :w_idx].T   # l-prefix · r-full
-                    S_fp = M[lc, :w_idx] @ P[rc, :w_idx].T   # l-full · r-prefix
-                    l_small = n1 <= n2
-                    before = np.where(l_small, S_pf, S_fp)
-                    mask &= before == 0
-                    # w itself must lie in the smaller side's true prefix
-                    w_in_pref_r = (P[rc, w_idx] > 0)[None, :]
-                    mask &= np.where(l_small, w_in_pref_l, w_in_pref_r)
-                    sim = compute_sim(sim_measure_type, F, n1, n2)
-                    mask &= comp_fn(sim, threshold)
-                    ii, jj = np.nonzero(mask)
-                    if len(ii):
-                        emit(gl[i0:i1][ii], gr[j0:j1][jj], sim[ii, jj])
+                rc = r_loc[j0:]
+                F = M[lc] @ M[rc].T  # exact pairwise overlap counts
+                n2 = sz_r[j0:][None, :]
+                ot = get_overlap_threshold(n1, n2, sim_measure_type, threshold)
+                mask = np.minimum(n1, n2) >= ot
+                ub = 1 + np.minimum(n1 - pos_l_all[i0:i1][:, None] - 1,
+                                    n2 - pos_r[j0:][None, :] - 1)
+                mask &= ub >= ot
+                if triu and j0 < min(i1, nr):
+                    jb = min(i1, nr)
+                    mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
+                                          np.arange(j0, jb)[None, :])
+                # prefix(small) x full(large): two asymmetric matmuls
+                S_pf = P[lc, :w_idx] @ M[rc, :w_idx].T   # l-prefix · r-full
+                S_fp = M[lc, :w_idx] @ P[rc, :w_idx].T   # l-full · r-prefix
+                l_small = n1 <= n2
+                before = np.where(l_small, S_pf, S_fp)
+                mask &= before == 0
+                # w itself must lie in the smaller side's true prefix
+                w_in_pref_r = (P[rc, w_idx] > 0)[None, :]
+                mask &= np.where(l_small, w_in_pref_l, w_in_pref_r)
+                sim = compute_sim(sim_measure_type, F, n1, n2)
+                mask &= comp_fn(sim, threshold)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    emit(gl[i0:i1][ii], gr[j0:][jj], sim[ii, jj])
 
         def _big_group(g, l_loc, r_loc, w, triu):
             if is_oc:
@@ -483,68 +496,81 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             state = {"M": None}
             sz_l_all = size[gl].astype(np.int32)
             sz_r = size[gr].astype(np.int32)
-            rem_l = (sz_l_all - pos[gl] - 1).astype(np.int32)
-            rem_r = (sz_r - pos[gr] - 1).astype(np.int32)
+            # fused feasibility: min(n1,n2) >= ot AND min(rem1,rem2)+1 >= ot
+            # collapses to min(n1-pos1, n2-pos2) >= ot (pos >= 0 makes
+            # n-pos <= n) — ONE broadcast min of two 1-D bounds per tile
+            # instead of a min-size tile plus a remaining-position tile
+            bnd_l = (sz_l_all - pos[gl]).astype(np.int32)
+            bnd_r = (sz_r - pos[gr]).astype(np.int32)
+            nr = len(gr)
+            # gather the r-side operand ONCE per cell; chunks slice rows off
+            # it (a view), instead of re-gathering ~(cell/512) times
+            PbR = Pb[r_loc]
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                # triu cells (self-join): columns j <= i0 can never satisfy
+                # i < j for rows >= i0 — slice them off the tile entirely,
+                # halving total mask + GEMM area over the whole cell
+                j0 = i0 + 1 if triu else 0
+                if j0 >= nr:
+                    continue
                 lc = l_loc[i0:i1]
+                rc = r_loc[j0:]
                 n1 = sz_l_all[i0:i1][:, None]
-                rem1 = rem_l[i0:i1][:, None]
-                Pl = Pb[lc]
-                for j0 in range(0, len(gr), _PAIR_CHUNK_COLS):
-                    j1 = min(j0 + _PAIR_CHUNK_COLS, len(gr))
-                    rc = r_loc[j0:j1]
-                    n2 = sz_r[j0:j1][None, :]
-                    # int32 mask chain + overlap-threshold LUT: the candidate
-                    # mask evaluation dominates kernel time on dense corpora
-                    # — avoid float64 ceil per cell, keep tile temps cached
-                    ot = _ot_lut(sim_measure_type, threshold, n1, n2)
-                    mask = np.minimum(n1, n2) >= ot
-                    rem = np.minimum(rem1, rem_r[j0:j1][None, :])
-                    mask &= rem + 1 >= ot
-                    if triu:
-                        mask &= (np.arange(i0, i1)[:, None] <
-                                 np.arange(j0, j1)[None, :])
-                    if not mask.any():
-                        continue
-                    before = Pl @ Pb[rc].T
-                    mask &= before == 0
-                    n_surv = int(np.count_nonzero(mask))
-                    if n_surv == 0:
-                        continue
-                    # per-pair intersects win only for genuinely sparse survivors
-                    if n_surv >= min(6000, _MATMUL_DENSITY * mask.size):
-                        if state["M"] is None:
-                            vals, rows_ = _gather_flat(rv, st, ln, g)
-                            _, state["M"] = _membership(vals, rows_, len(g))
-                        M = state["M"]
-                        F = M[lc] @ M[rc].T
-                        if comp_op_is_ge:
-                            # integer threshold test (o >= ot <=> sim >= t,
-                            # verified exact over the whole boundary domain);
-                            # float sims only for EMITTED pairs — skips two
-                            # full-tile float64 temporaries per tile
-                            mask &= F >= ot
-                            ii, jj = np.nonzero(mask)
-                            if len(ii):
-                                o = F[ii, jj].astype(np.float64)
-                                sim1 = compute_sim(sim_measure_type, o,
-                                                   n1[ii, 0], n2[0, jj])
-                                emit(gl[i0:i1][ii], gr[j0:j1][jj], sim1)
-                        else:
-                            sim = compute_sim(sim_measure_type, F, n1, n2)
-                            mask &= comp_fn(sim, threshold)
-                            ii, jj = np.nonzero(mask)
-                            if len(ii):
-                                emit(gl[i0:i1][ii], gr[j0:j1][jj], sim[ii, jj])
-                    else:
+                n2 = sz_r[j0:][None, :]
+                # int32 mask chain + overlap-threshold LUT: the candidate
+                # mask evaluation dominates kernel time on dense corpora
+                # — avoid float64 ceil per cell, keep tile temps cached
+                ot = _ot_lut(sim_measure_type, threshold, n1, n2)
+                mask = np.minimum(bnd_l[i0:i1][:, None], bnd_r[j0:][None, :]) >= ot
+                if triu and j0 < min(i1, nr):
+                    # only the in-band columns [j0, i1) need the triangular
+                    # test; every column >= i1 satisfies i < j already
+                    jb = min(i1, nr)
+                    mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
+                                          np.arange(j0, jb)[None, :])
+                if not mask.any():
+                    continue
+                before = Pb[lc] @ PbR[j0:].T
+                mask &= before == 0
+                n_surv = int(np.count_nonzero(mask))
+                if n_surv == 0:
+                    continue
+                # per-pair intersects win only for genuinely sparse survivors
+                if n_surv >= min(6000, _MATMUL_DENSITY * mask.size):
+                    if state["M"] is None:
+                        vals, rows_ = _gather_flat(rv, st, ln, g)
+                        _, M_full = _membership(vals, rows_, len(g))
+                        state["M"] = M_full
+                        state["MR"] = M_full[r_loc]
+                    M = state["M"]
+                    F = M[lc] @ state["MR"][j0:].T
+                    if comp_op_is_ge:
+                        # integer threshold test (o >= ot <=> sim >= t,
+                        # verified exact over the whole boundary domain);
+                        # float sims only for EMITTED pairs — skips two
+                        # full-tile float64 temporaries per tile
+                        mask &= F >= ot
                         ii, jj = np.nonzero(mask)
-                        li, ri = gl[i0:i1][ii], gr[j0:j1][jj]
-                        ov = _pairs_overlap(li, ri)
-                        sim = compute_sim(sim_measure_type, ov, size[li], size[ri])
-                        keep = comp_fn(sim, threshold)
-                        if keep.any():
-                            emit(li[keep], ri[keep], sim[keep])
+                        if len(ii):
+                            o = F[ii, jj].astype(np.float64)
+                            sim1 = compute_sim(sim_measure_type, o,
+                                               n1[ii, 0], n2[0, jj])
+                            emit(gl[i0:i1][ii], gr[j0:][jj], sim1)
+                    else:
+                        sim = compute_sim(sim_measure_type, F, n1, n2)
+                        mask &= comp_fn(sim, threshold)
+                        ii, jj = np.nonzero(mask)
+                        if len(ii):
+                            emit(gl[i0:i1][ii], gr[j0:][jj], sim[ii, jj])
+                else:
+                    ii, jj = np.nonzero(mask)
+                    li, ri = gl[i0:i1][ii], gr[j0:][jj]
+                    ov = _pairs_overlap(li, ri)
+                    sim = compute_sim(sim_measure_type, ov, size[li], size[ri])
+                    keep = comp_fn(sim, threshold)
+                    if keep.any():
+                        emit(li[keep], ri[keep], sim[keep])
 
         for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
             w = ptok[g[0]]
@@ -642,32 +668,36 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
             w_idx = int(np.searchsorted(pvocab, w))
             gl, gr = g[l_loc], g[r_loc]
             Pb = P[:, :w_idx]
+            nr = len(gr)
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                # triu cells: slice off columns j <= i0 (see _big_group)
+                j0 = i0 + 1 if triu else 0
+                if j0 >= nr:
+                    continue
                 lc = l_loc[i0:i1]
                 L1 = slen[gl[i0:i1]][:, None]
                 d1 = dsize[gl[i0:i1]][:, None]
-                for j0 in range(0, len(gr), _PAIR_CHUNK_COLS):
-                    j1 = min(j0 + _PAIR_CHUNK_COLS, len(gr))
-                    rc = r_loc[j0:j1]
-                    L2 = slen[gr[j0:j1]][None, :]
-                    mask = np.abs(L1 - L2) <= t
-                    if triu:
-                        mask &= (np.arange(i0, i1)[:, None] <
-                                 np.arange(j0, j1)[None, :])
-                    if not mask.any():
-                        continue
-                    before = Pb[lc] @ Pb[rc].T
-                    mask &= before == 0
-                    if not mask.any():
-                        continue
-                    F = M[lc] @ M[rc].T
-                    d2 = dsize[gr[j0:j1]][None, :]
-                    mask &= F >= np.maximum(d1, d2) - qt
-                    ii, jj = np.nonzero(mask)
-                    if len(ii):
-                        cand_l.append(gl[i0:i1][ii])
-                        cand_r.append(gr[j0:j1][jj])
+                rc = r_loc[j0:]
+                L2 = slen[gr[j0:]][None, :]
+                mask = np.abs(L1 - L2) <= t
+                if triu and j0 < min(i1, nr):
+                    jb = min(i1, nr)
+                    mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
+                                          np.arange(j0, jb)[None, :])
+                if not mask.any():
+                    continue
+                before = Pb[lc] @ Pb[rc].T
+                mask &= before == 0
+                if not mask.any():
+                    continue
+                F = M[lc] @ M[rc].T
+                d2 = dsize[gr[j0:]][None, :]
+                mask &= F >= np.maximum(d1, d2) - qt
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    cand_l.append(gl[i0:i1][ii])
+                    cand_r.append(gr[j0:][jj])
 
         for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
             w = ptok[g[0]]
@@ -779,29 +809,30 @@ def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
             w_idx = int(np.searchsorted(pvocab, w))
             Pb = P[:, :w_idx]
             gl, gr = g[l_loc], g[r_loc]
+            nr = len(gr)
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                # triu cells: slice off columns j <= i0 (see _big_group)
+                j0 = i0 + 1 if triu else 0
+                if j0 >= nr:
+                    continue
                 lc = l_loc[i0:i1]
-                for j0 in range(0, len(gr), _PAIR_CHUNK_COLS):
-                    j1 = min(j0 + _PAIR_CHUNK_COLS, len(gr))
-                    rc = r_loc[j0:j1]
-                    if triu:
-                        mask = (np.arange(i0, i1)[:, None] <
-                                np.arange(j0, j1)[None, :])
-                    else:
-                        mask = np.ones((i1 - i0, j1 - j0), dtype=bool)
-                    before = Pb[lc] @ Pb[rc].T
-                    mask &= before == 0
-                    ii, jj = np.nonzero(mask)
-                    if len(ii) == 0:
-                        continue
-                    li, ri = gl[i0:i1][ii], gr[j0:j1][jj]
-                    if filter_type == "position":
-                        pk = _position_bound(li, ri)
-                        li, ri = li[pk], ri[pk]
-                    if len(li):
-                        out_l.append(li)
-                        out_r.append(ri)
+                rc = r_loc[j0:]
+                mask = Pb[lc] @ Pb[rc].T == 0
+                if triu and j0 < min(i1, nr):
+                    jb = min(i1, nr)
+                    mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
+                                          np.arange(j0, jb)[None, :])
+                ii, jj = np.nonzero(mask)
+                if len(ii) == 0:
+                    continue
+                li, ri = gl[i0:i1][ii], gr[j0:][jj]
+                if filter_type == "position":
+                    pk = _position_bound(li, ri)
+                    li, ri = li[pk], ri[pk]
+                if len(li):
+                    out_l.append(li)
+                    out_r.append(ri)
 
         for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
             w = ptok[g[0]]
