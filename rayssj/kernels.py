@@ -264,11 +264,22 @@ _MATRIX_GROUP_MIN = 8     # below this, per-pair intersect beats matmul setup
 # BLAS blocks the GEMM internally, and small tiles just add per-tile numpy
 # call overhead and shrink GEMM efficiency. 512 rows beat 1024 (t_32 36.6s
 # vs 41.0s, best-of-2, same input).
-_PAIR_CHUNK_ROWS = 512    # l-rows per pair chunk
-_PAIR_CHUNK_COLS = 1 << 30  # effectively unbounded: full r-width per chunk
+import os as _os
+
+_PAIR_CHUNK_ROWS = int(_os.environ.get("RAYSSJ_PAIR_ROWS", "512"))
+_PAIR_CHUNK_COLS = int(_os.environ.get("RAYSSJ_PAIR_COLS", str(1 << 30)))
 _MATMUL_DENSITY = 0.05    # survivor density above which full-matmul overlap wins
 
 _OT_LUT_CACHE: dict = {}
+
+# Measured dead end (do not retry): preallocated per-worker tile scratch
+# written with out= (GEMM outputs + the ot/bound/mask chain). A synthetic
+# probe suggested allocation churn hurt 8->32-process scaling (prealloc-out
+# GEMM 0.88 vs 0.78 allocating), but the REAL kernel measured the opposite
+# like-for-like at 32-way concurrency: 160s allocating vs 276s buffered
+# (163s with the power-of-two row stride padded) mean per process on the
+# same captured group. numpy's fresh >=4MB mmaps get MADV_HUGEPAGE and
+# exact (non-pow2) strides, which beats buffer reuse on this box.
 
 
 def _ot_lut(sim_measure_type, threshold, n1, n2):
@@ -503,74 +514,79 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             bnd_l = (sz_l_all - pos[gl]).astype(np.int32)
             bnd_r = (sz_r - pos[gr]).astype(np.int32)
             nr = len(gr)
-            # gather the r-side operand ONCE per cell; chunks slice rows off
-            # it (a view), instead of re-gathering ~(cell/512) times
+            # gather the r-side operand ONCE per cell; tiles slice rows off
+            # it (a view), instead of re-gathering per tile
             PbR = Pb[r_loc]
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 # triu cells (self-join): columns j <= i0 can never satisfy
                 # i < j for rows >= i0 — slice them off the tile entirely,
                 # halving total mask + GEMM area over the whole cell
-                j0 = i0 + 1 if triu else 0
-                if j0 >= nr:
+                jstart = i0 + 1 if triu else 0
+                if jstart >= nr:
                     continue
                 lc = l_loc[i0:i1]
-                rc = r_loc[j0:]
-                n1 = sz_l_all[i0:i1][:, None]
-                n2 = sz_r[j0:][None, :]
-                # int32 mask chain + overlap-threshold LUT: the candidate
-                # mask evaluation dominates kernel time on dense corpora
-                # — avoid float64 ceil per cell, keep tile temps cached
-                ot = _ot_lut(sim_measure_type, threshold, n1, n2)
-                mask = np.minimum(bnd_l[i0:i1][:, None], bnd_r[j0:][None, :]) >= ot
-                if triu and j0 < min(i1, nr):
-                    # only the in-band columns [j0, i1) need the triangular
-                    # test; every column >= i1 satisfies i < j already
-                    jb = min(i1, nr)
-                    mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
-                                          np.arange(j0, jb)[None, :])
-                if not mask.any():
-                    continue
-                before = Pb[lc] @ PbR[j0:].T
-                mask &= before == 0
-                n_surv = int(np.count_nonzero(mask))
-                if n_surv == 0:
-                    continue
-                # per-pair intersects win only for genuinely sparse survivors
-                if n_surv >= min(6000, _MATMUL_DENSITY * mask.size):
-                    if state["M"] is None:
-                        vals, rows_ = _gather_flat(rv, st, ln, g)
-                        _, M_full = _membership(vals, rows_, len(g))
-                        state["M"] = M_full
-                        state["MR"] = M_full[r_loc]
-                    M = state["M"]
-                    F = M[lc] @ state["MR"][j0:].T
-                    if comp_op_is_ge:
-                        # integer threshold test (o >= ot <=> sim >= t,
-                        # verified exact over the whole boundary domain);
-                        # float sims only for EMITTED pairs — skips two
-                        # full-tile float64 temporaries per tile
-                        mask &= F >= ot
-                        ii, jj = np.nonzero(mask)
-                        if len(ii):
-                            o = F[ii, jj].astype(np.float64)
-                            sim1 = compute_sim(sim_measure_type, o,
-                                               n1[ii, 0], n2[0, jj])
-                            emit(gl[i0:i1][ii], gr[j0:][jj], sim1)
+                Pl = Pb[lc]
+                n1c = sz_l_all[i0:i1][:, None]
+                bl_c = bnd_l[i0:i1][:, None]
+                Ml = None
+                for j0 in range(jstart, nr, _PAIR_CHUNK_COLS):
+                    j1 = min(j0 + _PAIR_CHUNK_COLS, nr)
+                    n1 = n1c
+                    n2 = sz_r[j0:j1][None, :]
+                    # int32 mask chain + overlap-threshold LUT: avoid
+                    # float64 ceil per cell
+                    ot = _ot_lut(sim_measure_type, threshold, n1, n2)
+                    mask = np.minimum(bl_c, bnd_r[j0:j1][None, :]) >= ot
+                    if triu and j0 < min(i1, j1):
+                        # only the in-band columns [j0, i1) need the
+                        # triangular test; every column >= i1 has i < j
+                        jb = min(i1, j1)
+                        mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
+                                              np.arange(j0, jb)[None, :])
+                    if not mask.any():
+                        continue
+                    before = Pl @ PbR[j0:j1].T
+                    mask &= before == 0
+                    n_surv = int(np.count_nonzero(mask))
+                    if n_surv == 0:
+                        continue
+                    # per-pair intersects win only for sparse survivors
+                    if n_surv >= min(6000, _MATMUL_DENSITY * mask.size):
+                        if state["M"] is None:
+                            vals, rows_ = _gather_flat(rv, st, ln, g)
+                            _, M_full = _membership(vals, rows_, len(g))
+                            state["M"] = M_full
+                            state["MR"] = M_full[r_loc]
+                        if Ml is None:
+                            Ml = state["M"][lc]
+                        F = Ml @ state["MR"][j0:j1].T
+                        if comp_op_is_ge:
+                            # integer threshold test (o >= ot <=> sim >= t,
+                            # verified exact over the whole boundary domain);
+                            # float sims only for EMITTED pairs — skips two
+                            # full-tile float64 temporaries per tile
+                            mask &= F >= ot
+                            ii, jj = np.nonzero(mask)
+                            if len(ii):
+                                o = F[ii, jj].astype(np.float64)
+                                sim1 = compute_sim(sim_measure_type, o,
+                                                   n1[ii, 0], n2[0, jj])
+                                emit(gl[i0:i1][ii], gr[j0:j1][jj], sim1)
+                        else:
+                            sim = compute_sim(sim_measure_type, F, n1, n2)
+                            mask &= comp_fn(sim, threshold)
+                            ii, jj = np.nonzero(mask)
+                            if len(ii):
+                                emit(gl[i0:i1][ii], gr[j0:j1][jj], sim[ii, jj])
                     else:
-                        sim = compute_sim(sim_measure_type, F, n1, n2)
-                        mask &= comp_fn(sim, threshold)
                         ii, jj = np.nonzero(mask)
-                        if len(ii):
-                            emit(gl[i0:i1][ii], gr[j0:][jj], sim[ii, jj])
-                else:
-                    ii, jj = np.nonzero(mask)
-                    li, ri = gl[i0:i1][ii], gr[j0:][jj]
-                    ov = _pairs_overlap(li, ri)
-                    sim = compute_sim(sim_measure_type, ov, size[li], size[ri])
-                    keep = comp_fn(sim, threshold)
-                    if keep.any():
-                        emit(li[keep], ri[keep], sim[keep])
+                        li, ri = gl[i0:i1][ii], gr[j0:j1][jj]
+                        ov = _pairs_overlap(li, ri)
+                        sim = compute_sim(sim_measure_type, ov, size[li], size[ri])
+                        keep = comp_fn(sim, threshold)
+                        if keep.any():
+                            emit(li[keep], ri[keep], sim[keep])
 
         for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
             w = ptok[g[0]]
