@@ -18,6 +18,11 @@ import subprocess
 import sys
 import time
 
+# quiet ray.data worker-side WARNING chatter (workers inherit the env of the
+# driver-forked raylet; must be set before ray.init)
+os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "ray_data_logging.yaml"))
+
 
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

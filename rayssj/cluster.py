@@ -61,7 +61,9 @@ def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 50,
 
     n_edges = edges.count()
     if n_edges == 0:
-        return rd.from_pandas(pd.DataFrame({"node": [], "component": []}))
+        return rd.from_arrow(pa.Table.from_pandas(
+            pd.DataFrame({"node": [], "component": []}),
+            preserve_index=False).replace_schema_metadata(None))
     if n_edges <= driver_threshold:
         # small-graph fast path: exact union-find on the driver
         df = edges.to_pandas()
@@ -82,7 +84,9 @@ def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 50,
                 parent[hi] = lo
         nodes = pd.unique(pd.concat([df["a"], df["b"]], ignore_index=True))
         comp = [find(n) for n in nodes]
-        return rd.from_pandas(pd.DataFrame({"node": nodes, "component": comp}))
+        return rd.from_arrow(pa.Table.from_pandas(
+            pd.DataFrame({"node": nodes, "component": comp}),
+            preserve_index=False).replace_schema_metadata(None))
 
     # distributed label propagation
     def init_labels(batch: pa.Table) -> pa.Table:

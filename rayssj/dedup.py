@@ -93,7 +93,10 @@ def exact_dedup(ds, text_col: str, key_col: str, num_partitions: int | None = No
         df = batch.to_pandas()
         df = (df.sort_values(key_col, kind="mergesort")
                 .drop_duplicates(subset=[text_col], keep="first"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # strip pandas schema metadata: Ray's shuffle schema-dedup tries
+        # hash(schema) and warn-spams on the metadata dict otherwise
+        return pa.Table.from_pandas(df, preserve_index=False)\
+            .replace_schema_metadata(None)
 
     def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(key_col, kind="mergesort")

@@ -435,7 +435,8 @@ class SizeFilter(_SimMeasureFilter):
                 tb = pa.table({"l_key": lk, "r_key": rk})
                 # same-size pairs appear as (x,y) AND (y,x) within this group
                 df = tb.to_pandas().drop_duplicates()
-                return pa.Table.from_pandas(df, preserve_index=False)
+                return pa.Table.from_pandas(df, preserve_index=False)\
+                    .replace_schema_metadata(None)
             return pa.table({"l_key": lk, "r_key": rk})
 
         pairs = l_sz.union(r_sz).groupby("gsize").map_groups(

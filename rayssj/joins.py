@@ -314,7 +314,9 @@ def _as_dataset(table):
     if isinstance(table, rd.Dataset):
         return table
     if isinstance(table, pd.DataFrame):
-        return rd.from_pandas(table.reset_index(drop=True))
+        return rd.from_arrow(pa.Table.from_pandas(
+            table.reset_index(drop=True),
+            preserve_index=False).replace_schema_metadata(None))
     if isinstance(table, pa.Table):
         return rd.from_arrow(table)
     raise AssertionError("input table must be a ray.data.Dataset, pandas DataFrame or pyarrow Table")

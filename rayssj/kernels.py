@@ -282,6 +282,23 @@ _OT_LUT_CACHE: dict = {}
 # exact (non-pow2) strides, which beats buffer reuse on this box.
 
 
+_OT_LUT16_CACHE: dict = {}
+
+
+def _ot_lut16(sim_measure_type, threshold, max_dom: int):
+    """int16 overlap-threshold LUT over the sum domain (JACCARD/DICE, only
+    when max_dom fits int16): halves the per-tile ot/dom bytes — the mask
+    chain's DRAM traffic is what inflates under 32-way concurrency."""
+    key = (sim_measure_type, float(threshold))
+    lut = _OT_LUT16_CACHE.get(key)
+    if lut is None or len(lut) <= max_dom:
+        s = np.arange(max(max_dom + 1, 1024), dtype=np.int64)
+        lut = get_overlap_threshold(s, np.zeros_like(s), sim_measure_type,
+                                    threshold).astype(np.int16)
+        _OT_LUT16_CACHE[key] = lut
+    return lut
+
+
 def _ot_lut(sim_measure_type, threshold, n1, n2):
     """Overlap-threshold matrix via an int32 lookup table over the measure's
     1-D domain (sum / product / min of sizes) — the exact §2.3 formula values
@@ -514,6 +531,18 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             bnd_l = (sz_l_all - pos[gl]).astype(np.int32)
             bnd_r = (sz_r - pos[gr]).astype(np.int32)
             nr = len(gr)
+            # narrow int16 tile mode: sum-domain LUT measures with sizes
+            # small enough that n1+n2 fits int16 (any sane token corpus) run
+            # the dom/ot/bound tiles at 2 bytes/cell instead of 4
+            lut16 = None
+            if sim_measure_type in ("JACCARD", "DICE"):
+                max_dom = int(sz_l_all.max()) + int(sz_r.max())
+                if max_dom < 32760:
+                    lut16 = _ot_lut16(sim_measure_type, threshold, max_dom)
+                    sz_l_all = sz_l_all.astype(np.int16)
+                    sz_r = sz_r.astype(np.int16)
+                    bnd_l = bnd_l.astype(np.int16)
+                    bnd_r = bnd_r.astype(np.int16)
             # gather the r-side operand ONCE per cell; tiles slice rows off
             # it (a view), instead of re-gathering per tile
             PbR = Pb[r_loc]
@@ -534,9 +563,12 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
                     j1 = min(j0 + _PAIR_CHUNK_COLS, nr)
                     n1 = n1c
                     n2 = sz_r[j0:j1][None, :]
-                    # int32 mask chain + overlap-threshold LUT: avoid
-                    # float64 ceil per cell
-                    ot = _ot_lut(sim_measure_type, threshold, n1, n2)
+                    # integer mask chain + overlap-threshold LUT: avoid
+                    # float64 ceil per cell (int16 tiles when sizes allow)
+                    if lut16 is not None:
+                        ot = lut16[n1 + n2]
+                    else:
+                        ot = _ot_lut(sim_measure_type, threshold, n1, n2)
                     mask = np.minimum(bl_c, bnd_r[j0:j1][None, :]) >= ot
                     if triu and j0 < min(i1, j1):
                         # only the in-band columns [j0, i1) need the

@@ -67,7 +67,8 @@ def _merge_partials(batch: pa.Table) -> pa.Table:
                         "cnt": list(counts["cnt"]) + [0],
                         "n_empty": [0] * len(counts) + [int(markers["n_empty"].sum())],
                         "n_missing": [0] * len(counts) + [int(markers["n_missing"].sum())]})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False)\
+        .replace_schema_metadata(None)
 
 
 class TokenOrder:

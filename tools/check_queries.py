@@ -9,6 +9,12 @@ from __future__ import annotations
 
 import sys
 import time
+import os
+
+# quiet ray.data worker-side WARNING chatter (inherited by forked workers)
+os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "ray_data_logging.yaml"))
+
 
 import duckdb
 import numpy as np
