@@ -59,6 +59,12 @@ def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 50,
     edges = _rename_ds(pairs_ds.select_columns([l_col, r_col]),
                        {l_col: "a", r_col: "b"})
 
+    # materialize the edge set ONCE: every path below consumes it at least
+    # twice (count + to_pandas on the driver fast path; once per propagation
+    # round otherwise), and a lazy input would re-execute the whole upstream
+    # join pipeline each time. Match pairs are far smaller than the corpus;
+    # the object store spills if they don't fit.
+    edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return rd.from_arrow(pa.Table.from_pandas(
