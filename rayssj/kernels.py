@@ -23,6 +23,8 @@ from rayssj.filter_utils import (
     COMP_OP_MAP,
     compute_sim,
     get_overlap_threshold,
+    get_size_lower_bound,
+    get_size_upper_bound,
 )
 from rayssj.levenshtein import levenshtein_pairs_capped
 
@@ -516,6 +518,17 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             # membership matrices for the dedup test; the expensive full-vocab
             # overlap matmul is built lazily, and sparse survivor sets fall
             # back to per-pair sorted intersects.
+            # order both sides by token-set size: each 512-row l-chunk then
+            # has a CONTIGUOUS feasible r-window (the §2.3 size bound), and
+            # columns outside it are sliced off before any tile work. For
+            # triu cells one shared permutation keeps i<j a valid
+            # enumerate-each-unordered-pair-once rule.
+            if triu:
+                perm = np.argsort(size[g], kind="stable")
+                l_loc = r_loc = l_loc[perm]
+            else:
+                l_loc = l_loc[np.argsort(size[g[l_loc]], kind="stable")]
+                r_loc = r_loc[np.argsort(size[g[r_loc]], kind="stable")]
             gl, gr = g[l_loc], g[r_loc]
             pvals, prows = _gather_flat(rv, st, ln, g, limit=pl)
             pvocab, P = _membership(pvals, prows, len(g))
@@ -552,15 +565,26 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
                 # i < j for rows >= i0 — slice them off the tile entirely,
                 # halving total mask + GEMM area over the whole cell
                 jstart = i0 + 1 if triu else 0
-                if jstart >= nr:
+                # feasible size window for this (sorted) l-chunk: columns
+                # whose sizes fall outside [lb(min n1), ub(max n1)] cannot
+                # pass min(n1,n2) >= ot — skip them before any tile work
+                jstart = max(jstart, int(np.searchsorted(
+                    sz_r, get_size_lower_bound(int(sz_l_all[i0]),
+                                               sim_measure_type, threshold),
+                    side="left")))
+                jend = int(np.searchsorted(
+                    sz_r, get_size_upper_bound(int(sz_l_all[i1 - 1]),
+                                               sim_measure_type, threshold),
+                    side="right"))
+                if jstart >= jend:
                     continue
                 lc = l_loc[i0:i1]
                 Pl = Pb[lc]
                 n1c = sz_l_all[i0:i1][:, None]
                 bl_c = bnd_l[i0:i1][:, None]
                 Ml = None
-                for j0 in range(jstart, nr, _PAIR_CHUNK_COLS):
-                    j1 = min(j0 + _PAIR_CHUNK_COLS, nr)
+                for j0 in range(jstart, jend, _PAIR_CHUNK_COLS):
+                    j1 = min(j0 + _PAIR_CHUNK_COLS, jend)
                     n1 = n1c
                     n2 = sz_r[j0:j1][None, :]
                     # integer mask chain + overlap-threshold LUT: avoid
@@ -710,27 +734,40 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                 cand_r.append(np.array([b]))
 
         def _big(g, l_loc, r_loc, w, triu):
+            # order by string length: each l-chunk's feasible r-columns
+            # (|L1-L2| <= t) form a contiguous window (see _big_group)
+            if triu:
+                perm = np.argsort(slen[g], kind="stable")
+                l_loc = r_loc = l_loc[perm]
+            else:
+                l_loc = l_loc[np.argsort(slen[g[l_loc]], kind="stable")]
+                r_loc = r_loc[np.argsort(slen[g[r_loc]], kind="stable")]
             # membership matrices over local prefix / full-gram vocabularies
             pvocab, P, _ = _member_matrices(pv, pv_st, pv_ln, g, None, build_prefix=False)
             gvocab, M, _ = _member_matrices(gv, gv_st, gv_ln, g, None, build_prefix=False)
             w_idx = int(np.searchsorted(pvocab, w))
             gl, gr = g[l_loc], g[r_loc]
             Pb = P[:, :w_idx]
+            slr = slen[gr]
             nr = len(gr)
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 # triu cells: slice off columns j <= i0 (see _big_group)
                 j0 = i0 + 1 if triu else 0
-                if j0 >= nr:
+                j0 = max(j0, int(np.searchsorted(
+                    slr, slen[gl[i0]] - max_d, side="left")))
+                jend = int(np.searchsorted(
+                    slr, slen[gl[i1 - 1]] + max_d, side="right"))
+                if j0 >= jend:
                     continue
                 lc = l_loc[i0:i1]
                 L1 = slen[gl[i0:i1]][:, None]
                 d1 = dsize[gl[i0:i1]][:, None]
-                rc = r_loc[j0:]
-                L2 = slen[gr[j0:]][None, :]
+                rc = r_loc[j0:jend]
+                L2 = slr[j0:jend][None, :]
                 mask = np.abs(L1 - L2) <= t
-                if triu and j0 < min(i1, nr):
-                    jb = min(i1, nr)
+                if triu and j0 < min(i1, jend):
+                    jb = min(i1, jend)
                     mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
                                           np.arange(j0, jb)[None, :])
                 if not mask.any():
@@ -740,12 +777,12 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                 if not mask.any():
                     continue
                 F = M[lc] @ M[rc].T
-                d2 = dsize[gr[j0:]][None, :]
+                d2 = dsize[gr[j0:jend]][None, :]
                 mask &= F >= np.maximum(d1, d2) - qt
                 ii, jj = np.nonzero(mask)
                 if len(ii):
                     cand_l.append(gl[i0:i1][ii])
-                    cand_r.append(gr[j0:][jj])
+                    cand_r.append(gr[j0:jend][jj])
 
         for g, l_loc, r_loc, triu in _iter_cells(grp, side, self_join):
             w = ptok[g[0]]
