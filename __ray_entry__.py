@@ -154,7 +154,8 @@ def _q_token_counts(sf_dir: str):
 
     return (_docs(sf_dir)
             .map_batches(TokenCounter, batch_format="pyarrow", concurrency=2,
-                         fn_constructor_kwargs=dict(text_col="text"))
+                         fn_constructor_kwargs=dict(text_col="text"),
+                         max_restarts=0)
             .select_columns(["doc_id", "ws_tokens", "bpe_tokens"]))
 
 
@@ -170,7 +171,8 @@ def _q_langid(sf_dir: str):
     from rayssj.textstats import LangIdScorer
 
     return (_docs(sf_dir)
-            .map_batches(LangIdScorer, batch_format="pyarrow", concurrency=2)
+            .map_batches(LangIdScorer, batch_format="pyarrow", concurrency=2,
+                         max_restarts=0)
             .select_columns(["doc_id", "lang_pred", "lang_score"]))
 
 

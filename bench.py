@@ -19,9 +19,15 @@ import sys
 import time
 
 # quiet ray.data worker-side WARNING chatter (workers inherit the env of the
-# driver-forked raylet; must be set before ray.init)
-os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "tools", "ray_data_logging.yaml"))
+# driver-forked raylet; must be set before ray.init). The yaml names Ray 2.49
+# private logging classes — guard on the version so a Ray upgrade degrades to
+# default logging instead of erroring dictConfig in every worker.
+import importlib.metadata as _im
+
+if _im.version("ray").startswith("2.49"):
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools",
+        "ray_data_logging.yaml"))
 
 
 def run_bench() -> dict:
@@ -51,71 +57,78 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     pairs: dict[str, int] = {}
+    # median-of-N per query: single runs on this contended shared host swing
+    # ±50% (BASELINE.md "Measurement health") and made round-over-round BENCH
+    # deltas unattributable
+    reps = int(os.environ.get("RAYSSJ_BENCH_REPS", "3"))
+
+    def timed(name: str, count_key: str, fn):
+        import statistics
+
+        secs, n = [], 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn()
+            secs.append(time.time() - t0)
+        timings[name] = round(statistics.median(secs), 3)
+        pairs[count_key] = n
 
     def docs():
         return rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     # BASELINE.md headline blocking/scoring config: jaccard, q-gram q=3, t=0.8
-    t0 = time.time()
-    p = jaccard_join(docs(), None, "doc_id", "doc_id", "text", "text",
-                     QgramTokenizer(3, return_set=True), 0.8, self_join=True)
-    pairs["jaccard_q3_08"] = p.count()
-    timings["jaccard_q3_08"] = round(time.time() - t0, 3)
+    timed("jaccard_q3_08", "jaccard_q3_08", lambda: jaccard_join(
+        docs(), None, "doc_id", "doc_id", "text", "text",
+        QgramTokenizer(3, return_set=True), 0.8, self_join=True).count())
 
-    t0 = time.time()
-    p = jaccard_join(docs(), None, "doc_id", "doc_id", "text", "text",
-                     WhitespaceTokenizer(), 0.8, self_join=True)
-    pairs["jaccard_ws_08"] = p.count()
-    timings["jaccard_ws_08"] = round(time.time() - t0, 3)
+    timed("jaccard_ws_08", "jaccard_ws_08", lambda: jaccard_join(
+        docs(), None, "doc_id", "doc_id", "text", "text",
+        WhitespaceTokenizer(), 0.8, self_join=True).count())
 
-    t0 = time.time()
     import pyarrow.compute as pc
 
-    trunc = docs().map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("text"), "text",
-                               pc.utf8_slice_codeunits(t["text"], 0, 40)),
-        batch_format="pyarrow")
-    p = edit_distance_join(trunc, None, "doc_id", "doc_id", "text", "text",
-                           QgramTokenizer(2), 3, self_join=True)
-    pairs["edit_distance_q2_t3"] = p.count()
-    timings["edit_distance_q2_t3"] = round(time.time() - t0, 3)
+    def _edit_distance():
+        trunc = docs().map_batches(
+            lambda t: t.set_column(t.schema.get_field_index("text"), "text",
+                                   pc.utf8_slice_codeunits(t["text"], 0, 40)),
+            batch_format="pyarrow")
+        return edit_distance_join(trunc, None, "doc_id", "doc_id", "text",
+                                  "text", QgramTokenizer(2), 3,
+                                  self_join=True).count()
 
-    t0 = time.time()
-    p = minhash_lsh_pairs(docs(), "doc_id", "text", jaccard_threshold=0.9)
-    pairs["minhash_lsh"] = p.count()
-    timings["minhash_lsh"] = round(time.time() - t0, 3)
+    timed("edit_distance_q2_t3", "edit_distance_q2_t3", _edit_distance)
 
-    t0 = time.time()
+    timed("minhash_lsh", "minhash_lsh", lambda: minhash_lsh_pairs(
+        docs(), "doc_id", "text", jaccard_threshold=0.9).count())
+
     from rayssj.textstats import LangIdScorer, TokenCounter, quality_stats_batch
 
-    stats_ds = (docs()
-                .map_batches(quality_stats_batch, batch_format="pyarrow")
-                .map_batches(TokenCounter, batch_format="pyarrow", concurrency=4)
-                .map_batches(LangIdScorer, batch_format="pyarrow", concurrency=4))
-    pairs["textstats_rows"] = stats_ds.count()
-    timings["textstats"] = round(time.time() - t0, 3)
+    timed("textstats", "textstats_rows", lambda: (
+        docs()
+        .map_batches(quality_stats_batch, batch_format="pyarrow")
+        .map_batches(TokenCounter, batch_format="pyarrow", concurrency=4,
+                     max_restarts=0)
+        .map_batches(LangIdScorer, batch_format="pyarrow", concurrency=4,
+                     max_restarts=0)
+        .count()))
 
-    t0 = time.time()
     from rayssj.dedup import embedding_cosine_pairs
 
-    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
-    p = embedding_cosine_pairs(embs, "vec_id", "embedding", threshold=0.4)
-    pairs["embedding_pairs"] = p.count()
-    timings["embedding_pairs"] = round(time.time() - t0, 3)
+    timed("embedding_pairs", "embedding_pairs", lambda: embedding_cosine_pairs(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        "vec_id", "embedding", threshold=0.4).count())
 
     # headline: full linkage — block+score (jaccard 0.9) then transitive closure
-    t0 = time.time()
-    p = jaccard_join(docs(), None, "doc_id", "doc_id", "text", "text",
-                     WhitespaceTokenizer(), 0.9, self_join=True)
-    comps = connected_components(p, "l_doc_id", "r_doc_id")
-    pairs["linkage_clusters"] = comps.count()
-    timings["linkage_e2e"] = round(time.time() - t0, 3)
+    timed("linkage_e2e", "linkage_clusters", lambda: connected_components(
+        jaccard_join(docs(), None, "doc_id", "doc_id", "text", "text",
+                     WhitespaceTokenizer(), 0.9, self_join=True),
+        "l_doc_id", "r_doc_id").count())
 
     headline = timings["linkage_e2e"]
     out = {"metric": "e2e_linkage_sec", "value": headline, "unit": "sec",
-           "queries": timings, "pairs": pairs,
+           "queries": timings, "pairs": pairs, "reps": reps,
            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1], "num_cpus": num_cpus}
     ray.shutdown()
     return out

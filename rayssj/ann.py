@@ -75,11 +75,15 @@ def knn_cosine(ds, queries: np.ndarray, key_col: str, emb_col: str = "embedding"
             ("query_id", pa.int64()), ("key", kt),
             ("_sim_score", pa.float64())]).empty_table())
     qref = ray.put(np.asarray(queries, dtype=np.float32))
+    # max_restarts=0: the ctor takes an ObjectRef (broadcast query matrix) —
+    # with Ray Data's default max_restarts=-1 an actor restart after the ref
+    # is lost would fail anyway (Ray #53727); restart story is re-running the
+    # job, which re-puts the queries.
     partial = ds.select_columns([key_col, emb_col]).map_batches(
         _TopKScorer, batch_format="pyarrow",
         fn_constructor_kwargs=dict(queries_ref=qref, key_col=key_col,
                                    emb_col=emb_col, k=k),
-        concurrency=concurrency)
+        concurrency=concurrency, max_restarts=0)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         # deterministic tie-break on key (matches ORDER BY score DESC, key)

@@ -21,6 +21,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def splitmix_u64(v):
+    """Vectorized splitmix64 avalanche over a uint64 ndarray (shared by
+    bounded-partition shuffle keys, fake-media feature expansion, and
+    layout-independent sampling)."""
+    import numpy as np
+
+    v = v + np.uint64(0x9E3779B97F4A7C15)
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    return v
+
+
 def stable_hash64(arr: pa.Array) -> pa.Array:
     """Deterministic 64-bit hash of a string/int column (xxhash-free: use
     Arrow's string casts + sha via python only at driver; per-batch path uses

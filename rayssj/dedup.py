@@ -36,15 +36,7 @@ def _empty_pairs(ds, key_col: str):
         ("_sim_score", pa.float64())]).empty_table())
 
 
-def _splitmix_u64(v: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 avalanche (bounded-partition shuffle keys)."""
-    v = v + np.uint64(0x9E3779B97F4A7C15)
-    v ^= v >> np.uint64(30)
-    v *= np.uint64(0xBF58476D1CE4E5B9)
-    v ^= v >> np.uint64(27)
-    v *= np.uint64(0x94D049BB133111EB)
-    v ^= v >> np.uint64(31)
-    return v
+from rayssj.checkpoint import splitmix_u64 as _splitmix_u64  # noqa: E402
 
 
 def _scrub_blocks(ds, batch_size: int = 65536):
@@ -262,11 +254,16 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
 
+    # max_restarts=0: Ray Data ships the actor ctor's map_transformer through
+    # the object store, and with its default max_restarts=-1 a lost arg makes
+    # actor restart fail mid-job (Ray #53727 — the bench tail warned on this
+    # stage). This engine's restart story is partition-level checkpoint/resume
+    # (rayssj.pipelines), not actor resurrection.
     sketched = ds.select_columns([key_col, text_col]).map_batches(
         MinHasher, batch_format="pyarrow",
         fn_constructor_kwargs=dict(text_col=text_col, num_perm=num_perm,
                                    shingle_k=shingle_k, seed=seed),
-        concurrency=concurrency)
+        concurrency=concurrency, max_restarts=0)
 
     from rayssj.joins import join_num_partitions
 
@@ -484,7 +481,7 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
     sketched = ds.select_columns([key_col, text_col]).map_batches(
         SimHasher, batch_format="pyarrow",
         fn_constructor_kwargs=dict(text_col=text_col, shingle_k=shingle_k),
-        concurrency=concurrency)
+        concurrency=concurrency, max_restarts=0)  # Ray #53727; see MinHasher
 
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
@@ -608,6 +605,23 @@ def _popcount_u64(v: np.ndarray) -> np.ndarray:
 AUTO_EXACT_MAX_ROWS = 200_000  # above this, the exact O(n²) grid auto-switches
 LSH_TARGET_BUCKET_ROWS = 1024  # auto-sizing: expected rows per LSH bucket
 
+_LSH_PLANES_CACHE: dict = {}
+
+
+def _lsh_planes(seed: int, dim: int, n_planes: int) -> np.ndarray:
+    """Per-worker-process cache of the deterministic hyperplane matrix —
+    plane generation is per-(seed,dim,n_planes) state, not per-batch work
+    (VERDICT r03 wrong #4)."""
+    key = (seed, dim, n_planes)
+    planes = _LSH_PLANES_CACHE.get(key)
+    if planes is None:
+        if len(_LSH_PLANES_CACHE) > 8:
+            _LSH_PLANES_CACHE.clear()
+        planes = np.random.default_rng(seed).standard_normal(
+            (dim, n_planes)).astype(np.float32)
+        _LSH_PLANES_CACHE[key] = planes
+    return planes
+
 
 def embedding_cosine_pairs(ds, key_col: str, emb_col: str = "embedding",
                            threshold: float = 0.95, num_buckets: int = 1,
@@ -662,9 +676,7 @@ def embedding_cosine_pairs(ds, key_col: str, emb_col: str = "embedding",
         norm = np.linalg.norm(v, axis=1, keepdims=True)
         v = v / np.maximum(norm, 1e-12)
         if n_planes:
-            rng = np.random.default_rng(seed)
-            planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
-            bits = (v @ planes > 0).astype(np.uint64)
+            bits = (v @ _lsh_planes(seed, dim, n_planes) > 0).astype(np.uint64)
             sig = np.zeros(n, dtype=np.uint64)
             for j in range(n_planes):
                 sig = (sig << np.uint64(1)) | bits[:, j]

@@ -351,9 +351,7 @@ def _membership(vals, rows, n_mem, vocab=None):
         # NOTE: unique + searchsorted measured FASTER than
         # unique(return_inverse=True) (inverse pays an argsort)
         vocab = np.unique(vals)
-        col = np.searchsorted(vocab, vals)
-    else:
-        col = np.searchsorted(vocab, vals)
+    col = np.searchsorted(vocab, vals)
     M = np.zeros((n_mem, len(vocab)), dtype=np.float32)
     M[rows, col] = 1.0
     return vocab, M
@@ -543,7 +541,6 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
             # instead of a min-size tile plus a remaining-position tile
             bnd_l = (sz_l_all - pos[gl]).astype(np.int32)
             bnd_r = (sz_r - pos[gr]).astype(np.int32)
-            nr = len(gr)
             # narrow int16 tile mode: sum-domain LUT measures with sizes
             # small enough that n1+n2 fits int16 (any sane token corpus) run
             # the dom/ot/bound tiles at 2 bytes/cell instead of 4
@@ -749,7 +746,6 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
             gl, gr = g[l_loc], g[r_loc]
             Pb = P[:, :w_idx]
             slr = slen[gr]
-            nr = len(gr)
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 # triu cells: slice off columns j <= i0 (see _big_group)

@@ -11,9 +11,14 @@ import sys
 import time
 import os
 
-# quiet ray.data worker-side WARNING chatter (inherited by forked workers)
-os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "ray_data_logging.yaml"))
+# quiet ray.data worker-side WARNING chatter (inherited by forked workers).
+# The yaml names Ray 2.49 private logging classes — version-guarded so a Ray
+# upgrade degrades to default logging instead of erroring in every worker.
+import importlib.metadata as _im
+
+if _im.version("ray").startswith("2.49"):
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ray_data_logging.yaml"))
 
 
 import duckdb
