@@ -74,8 +74,7 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
 # Brute-force reference implementations (plain python/numpy all-pairs loops,
 # NO Ray, none of the engine's blocking/shuffle machinery) for the queries
 # whose semantics aren't SQL-expressible. Hash-compared exactly like the SQL
-# oracles; sample_pairs stays rows-only (seeded sampling has no independent
-# reference).
+# oracles.
 
 _FNV = 1099511628211
 _M64 = (1 << 64) - 1
@@ -244,11 +243,56 @@ def _py_fingerprint(sf_dir):
                          "fingerprint": np.array(fps, dtype=np.int64)})
 
 
+def _py_sample_pairs(sf_dir, sample_size=50, y_param=6, seed=7):
+    """Scalar-python reimplementation of rayssj.sampler.sample_pairs on the
+    documents self-pair config of __ray_entry__._q_sample_pairs. Checkable
+    because every stage is a pure function of key values: Bernoulli R-sample
+    via splitmix64(hash64(key) ^ mix(seed)) < frac·2⁶⁴, top-y/2 by distinct
+    whitespace-token overlap (ties by l key), fill = y/2 smallest priorities
+    splitmix64(hash64(l) ^ splitmix64(hash64(r) ^ seed))."""
+
+    def sm(v):
+        v = (v + 0x9E3779B97F4A7C15) & _M64
+        v ^= v >> 30
+        v = (v * 0xBF58476D1CE4E5B9) & _M64
+        v ^= v >> 27
+        v = (v * 0x94D049BB133111EB) & _M64
+        v ^= v >> 31
+        return v
+
+    docs = _py_docs(sf_dir)
+    ids = [int(x) for x in docs["doc_id"]]
+    texts = dict(zip(ids, docs["text"]))
+    toks = {k: set((texts[k] or "").split()) for k in ids}
+    n_r = len(ids)
+    frac = min(1.0, sample_size / max(n_r, 1))
+    if frac < 1.0:
+        salt = sm((seed & _M64) ^ 0xA24BAED4963EE407)  # sampler._SAMPLE_SALT
+        thresh = int(frac * 2.0 ** 64)
+        r_keys = [k for k in ids if sm(sm(k) ^ salt) < thresh]
+    else:
+        r_keys = list(ids)
+    half = max(y_param // 2, 1)
+    out = []
+    for rk in r_keys:
+        rt = toks[rk]
+        cands = sorted(((len(toks[lk] & rt), lk) for lk in ids
+                        if len(toks[lk] & rt) >= 1), key=lambda t: (-t[0], t[1]))
+        top_l = [lk for _, lk in cands[:half]]
+        ex = set(top_l)
+        stream = sm(sm(rk) ^ (seed & _M64))
+        pris = sorted((sm(sm(lk) ^ stream), lk) for lk in ids if lk not in ex)
+        out += [(lk, rk) for lk in top_l]
+        out += [(lk, rk) for _, lk in pris[:half]]
+    return pd.DataFrame(out, columns=["l_doc_id", "r_doc_id"])
+
+
 PY_ORACLES = {
     "simhash_pairs": _py_simhash_pairs,
     "minhash_pairs": _py_minhash_pairs,
     "suffix_filter": _py_suffix_filter,
     "fingerprint": _py_fingerprint,
+    "sample_pairs": _py_sample_pairs,
 }
 
 
