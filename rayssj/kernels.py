@@ -27,6 +27,7 @@ from rayssj.filter_utils import (
     get_size_upper_bound,
 )
 from rayssj.levenshtein import levenshtein_pairs_capped
+from rayssj import native as _nat
 
 
 def _list_col_parts(tbl: pa.Table, name: str):
@@ -274,6 +275,11 @@ _MATMUL_DENSITY = 0.05    # survivor density above which full-matmul overlap win
 
 _OT_LUT_CACHE: dict = {}
 
+# Driver-side switch for the bit-packed C fast path (rayssj/native.py):
+# captured into each kernel closure at build time so tests can monkeypatch it
+# per-join; each worker still independently requires _nat.available().
+NATIVE_ENABLED = _os.environ.get("RAYSSJ_NATIVE", "1") != "0"
+
 # Measured dead end (do not retry): preallocated per-worker tile scratch
 # written with out= (GEMM outputs + the ot/bound/mask chain). A synthetic
 # probe suggested allocation churn hurt 8->32-process scaling (prealloc-out
@@ -301,6 +307,27 @@ def _ot_lut16(sim_measure_type, threshold, max_dom: int):
     return lut
 
 
+def _lut_1d(sim_measure_type, threshold, max_dom):
+    """int32 1-D overlap-threshold LUT over the measure's scalar domain
+    (sum of sizes for JACCARD/DICE, product for COSINE, min for OC) — exact
+    ``get_overlap_threshold`` values, shared by the numpy tile path and the
+    native fused kernel so both verify against identical thresholds."""
+    if sim_measure_type in ("JACCARD", "DICE"):
+        probe = lambda s: (s, np.zeros_like(s))
+    elif sim_measure_type == "OVERLAP_COEFFICIENT":
+        probe = lambda s: (s, s)
+    else:  # COSINE
+        probe = lambda s: (s, np.ones_like(s))
+    key = (sim_measure_type, float(threshold))
+    lut = _OT_LUT_CACHE.get(key)
+    if lut is None or len(lut) <= max_dom:
+        s = np.arange(max(max_dom + 1, 1024), dtype=np.int64)
+        a, b = probe(s)
+        lut = get_overlap_threshold(a, b, sim_measure_type, threshold).astype(np.int32)
+        _OT_LUT_CACHE[key] = lut
+    return lut
+
+
 def _ot_lut(sim_measure_type, threshold, n1, n2):
     """Overlap-threshold matrix via an int32 lookup table over the measure's
     1-D domain (sum / product / min of sizes) — the exact §2.3 formula values
@@ -309,24 +336,13 @@ def _ot_lut(sim_measure_type, threshold, n1, n2):
         return max(int(threshold), 1)
     if sim_measure_type in ("JACCARD", "DICE"):
         dom = n1 + n2
-        probe = lambda s: (s, np.zeros_like(s))
     elif sim_measure_type == "OVERLAP_COEFFICIENT":
         dom = np.minimum(n1, n2)
-        probe = lambda s: (s, s)
     else:  # COSINE: domain is the size product
         dom = n1.astype(np.int64) * n2
         if int(dom.max()) > 8_000_000:
             return get_overlap_threshold(n1, n2, sim_measure_type, threshold)
-        probe = lambda s: (s, np.ones_like(s))
-    mx = int(dom.max())
-    key = (sim_measure_type, float(threshold))
-    lut = _OT_LUT_CACHE.get(key)
-    if lut is None or len(lut) <= mx:
-        s = np.arange(max(mx + 1, 1024), dtype=np.int64)
-        a, b = probe(s)
-        lut = get_overlap_threshold(a, b, sim_measure_type, threshold).astype(np.int32)
-        _OT_LUT_CACHE[key] = lut
-    return lut[dom]
+    return _lut_1d(sim_measure_type, threshold, int(dom.max()))[dom]
 
 
 def _gather_flat(rv, starts, lens, mem, limit=None):
@@ -355,6 +371,33 @@ def _membership(vals, rows, n_mem, vocab=None):
     M = np.zeros((n_mem, len(vocab)), dtype=np.float32)
     M[rows, col] = 1.0
     return vocab, M
+
+
+def _packed_membership(vals, rows, n_mem, vocab):
+    """Bit-packed membership over ``vocab`` for the native fused kernel:
+    row ``i`` holds one bit per vocab entry present in member ``i``, packed
+    into ``ceil(|vocab|/64)`` uint64 words.
+
+    The two build paths use DIFFERENT bit orderings (packbits is per-byte
+    big-endian; the scatter path is per-word little-endian) — safe because
+    both operands of any AND test are always slices of the SAME matrix built
+    by one call, and the tests are order-insensitive given a consistent
+    token<->bit bijection.
+    """
+    ncols = len(vocab)
+    if ncols == 0:
+        return np.zeros((n_mem, 0), dtype=np.uint64)
+    col = np.searchsorted(vocab, vals)
+    if n_mem * ncols <= (64 << 20):
+        dense = np.zeros((n_mem, ncols), dtype=np.uint8)
+        dense[rows, col] = 1
+        return _nat.pack_bits(dense)
+    # huge cells: skip the dense intermediate; or.at scatter is slower per
+    # element but memory stays at the packed size
+    out = np.zeros((n_mem, (ncols + 63) // 64), dtype=np.uint64)
+    np.bitwise_or.at(out, (rows, col >> 6),
+                     np.uint64(1) << (col & 63).astype(np.uint64))
+    return out
 
 
 def _member_matrices(rv, starts, lens, mem, pl, build_prefix=True):
@@ -389,6 +432,7 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
     comp_fn = COMP_OP_MAP[comp_op]
     is_oc = sim_measure_type == "OVERLAP_COEFFICIENT"
     comp_op_is_ge = comp_op == ">="
+    allow_native = NATIVE_ENABLED  # driver-time capture (see NATIVE_ENABLED)
 
     def kernel(tbl: pa.Table) -> pa.Table:
         all_keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
@@ -411,6 +455,11 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
         pl = _np(tbl_l, "pl")
         pos = _np(tbl_l, "pos")
         grp = _np(tbl_l, "grp")
+        # the native integer path relies on o >= ot <=> sim >= t, which is
+        # exact only for the ">=" comparator (same precondition as the numpy
+        # integer fast path below)
+        use_native = (allow_native and comp_op_is_ge and not is_oc
+                      and _nat.available())
 
         out_l, out_r, out_s = [], [], []
 
@@ -508,9 +557,79 @@ def make_set_sim_bucket_kernel(sim_measure_type: str, threshold: float,
                 if len(ii):
                     emit(gl[i0:i1][ii], gr[j0:][jj], sim[ii, jj])
 
+        def _big_group_native(g, l_loc, r_loc, w, triu):
+            """Fused bit-packed verification (rayssj/native.py): one C pass
+            per tile does feasibility + triangular rule + prefix-dedup AND-any
+            + overlap AND-popcount and emits survivors compactly. Replaces the
+            two float32 GEMMs and every per-tile numpy temporary — operands
+            are 64x smaller and L2-resident, which is what restores 8->32
+            process scaling (BASELINE.md round-4 matrix). Returns False to
+            decline (caller falls back to the numpy path)."""
+            if sim_measure_type == "OVERLAP":
+                mode, lut = 1, np.array([max(int(threshold), 1)], np.int32)
+            elif sim_measure_type in ("JACCARD", "DICE"):
+                mode = 0
+                lut = _lut_1d(sim_measure_type, threshold,
+                              2 * int(size[g].max()))
+            else:  # COSINE: product domain; decline when the LUT would blow up
+                mode = 2
+                max_dom = int(size[g].max()) ** 2
+                if max_dom > 8_000_000:
+                    return False
+                lut = _lut_1d(sim_measure_type, threshold, max_dom)
+            if triu:
+                perm = np.argsort(size[g], kind="stable")
+                l_loc = r_loc = l_loc[perm]
+            else:
+                l_loc = l_loc[np.argsort(size[g[l_loc]], kind="stable")]
+                r_loc = r_loc[np.argsort(size[g[r_loc]], kind="stable")]
+            gl, gr = g[l_loc], g[r_loc]
+            # packed prefix membership restricted to tokens ranked below w
+            # (the emit-at-first-shared-prefix dedup test)
+            pvals, prows = _gather_flat(rv, st, ln, g, limit=pl)
+            below = pvals < w
+            pvocab = np.unique(pvals[below])
+            PPk = _packed_membership(pvals[below], prows[below], len(g), pvocab)
+            # packed full token sets (exact overlap counts)
+            fvals, frows = _gather_flat(rv, st, ln, g)
+            MPk = _packed_membership(fvals, frows, len(g), np.unique(fvals))
+            AP, BP = PPk[l_loc], PPk[r_loc]
+            AF, BF = MPk[l_loc], MPk[r_loc]
+            n1v = size[gl].astype(np.int32)
+            n2v = size[gr].astype(np.int32)
+            b1v = (size[gl] - pos[gl]).astype(np.int32)
+            b2v = (size[gr] - pos[gr]).astype(np.int32)
+            for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
+                i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                jstart = i0 + 1 if triu else 0
+                jstart = max(jstart, int(np.searchsorted(
+                    n2v, get_size_lower_bound(int(n1v[i0]),
+                                              sim_measure_type, threshold),
+                    side="left")))
+                jend = int(np.searchsorted(
+                    n2v, get_size_upper_bound(int(n1v[i1 - 1]),
+                                              sim_measure_type, threshold),
+                    side="right"))
+                if jstart >= jend:
+                    continue
+                ii, jj, cc = _nat.verify_emit(
+                    AP[i0:i1], BP[jstart:jend], AF[i0:i1], BF[jstart:jend],
+                    n1v[i0:i1], n2v[jstart:jend],
+                    b1v[i0:i1], b2v[jstart:jend],
+                    lut, mode, 0, 0, 0, triu, i0, jstart)
+                if len(ii):
+                    li = gl[i0 + ii.astype(np.int64)]
+                    ri = gr[jstart + jj.astype(np.int64)]
+                    sim = compute_sim(sim_measure_type, cc.astype(np.float64),
+                                      size[li], size[ri])
+                    emit(li, ri, sim)
+            return True
+
         def _big_group(g, l_loc, r_loc, w, triu):
             if is_oc:
                 _big_group_oc(g, l_loc, r_loc, w, triu)
+                return
+            if use_native and _big_group_native(g, l_loc, r_loc, w, triu):
                 return
             # standard measures: cheap size/positional masks + PREFIX-only
             # membership matrices for the dedup test; the expensive full-vocab
@@ -679,6 +798,7 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
     t = float(threshold)
     max_d = int(np.ceil(t))
     qt = int(qval * t)
+    allow_native = NATIVE_ENABLED  # driver-time capture (see NATIVE_ENABLED)
 
     def kernel(tbl: pa.Table) -> pa.Table:
         keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
@@ -705,6 +825,9 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
 
         grp = _np(tbl, "grp")
         cand_l, cand_r = [], []
+        # candidate-generation bounds are comp_op-independent (the Levenshtein
+        # verify below applies comp_fn), so native needs no comparator gate
+        use_native = allow_native and _nat.available()
 
         def _small(gl, gr, w, triu):
             if triu:
@@ -730,7 +853,52 @@ def make_edit_distance_bucket_kernel(threshold: float, comp_op: str,
                 cand_l.append(np.array([a]))
                 cand_r.append(np.array([b]))
 
+        def _big_native(g, l_loc, r_loc, w, triu):
+            """Fused bit-packed candidate generation (see _big_group_native):
+            length filter + triangular rule + prefix-dedup AND-any + q-gram
+            count bound (mode 3: shared >= max(d1,d2) - q*t) in one C pass."""
+            if triu:
+                perm = np.argsort(slen[g], kind="stable")
+                l_loc = r_loc = l_loc[perm]
+            else:
+                l_loc = l_loc[np.argsort(slen[g[l_loc]], kind="stable")]
+                r_loc = r_loc[np.argsort(slen[g[r_loc]], kind="stable")]
+            gl, gr = g[l_loc], g[r_loc]
+            pvals, prows = _gather_flat(pv, pv_st, pv_ln, g)
+            below = pvals < w
+            PPk = _packed_membership(pvals[below], prows[below], len(g),
+                                     np.unique(pvals[below]))
+            gvals, grows = _gather_flat(gv, gv_st, gv_ln, g)
+            MPk = _packed_membership(gvals, grows, len(g), np.unique(gvals))
+            AP, BP = PPk[l_loc], PPk[r_loc]
+            AF, BF = MPk[l_loc], MPk[r_loc]
+            n1v = dsize[gl].astype(np.int32)
+            n2v = dsize[gr].astype(np.int32)
+            b1v = slen[gl].astype(np.int32)
+            b2v = slen[gr].astype(np.int32)
+            c1 = int(np.floor(t))  # |L1-L2| <= t over ints
+            slr = slen[gr]
+            for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
+                i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
+                j0 = i0 + 1 if triu else 0
+                j0 = max(j0, int(np.searchsorted(
+                    slr, slen[gl[i0]] - max_d, side="left")))
+                jend = int(np.searchsorted(
+                    slr, slen[gl[i1 - 1]] + max_d, side="right"))
+                if j0 >= jend:
+                    continue
+                ii, jj, _cc = _nat.verify_emit(
+                    AP[i0:i1], BP[j0:jend], AF[i0:i1], BF[j0:jend],
+                    n1v[i0:i1], n2v[j0:jend], b1v[i0:i1], b2v[j0:jend],
+                    None, 3, qt, 1, c1, triu, i0, j0)
+                if len(ii):
+                    cand_l.append(gl[i0 + ii.astype(np.int64)])
+                    cand_r.append(gr[j0 + jj.astype(np.int64)])
+
         def _big(g, l_loc, r_loc, w, triu):
+            if use_native:
+                _big_native(g, l_loc, r_loc, w, triu)
+                return
             # order by string length: each l-chunk's feasible r-columns
             # (|L1-L2| <= t) form a contiguous window (see _big_group)
             if triu:
@@ -816,6 +984,7 @@ def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
     (# shared prefix tokens) + min tokens remaining after the LAST shared
     prefix position >= overlap threshold [ref: filter/position_filter.py:~80 †U].
     """
+    allow_native = NATIVE_ENABLED  # driver-time capture (see NATIVE_ENABLED)
 
     def kernel(tbl: pa.Table) -> pa.Table:
         keys = tbl["key"].combine_chunks() if isinstance(tbl["key"], pa.ChunkedArray) else tbl["key"]
@@ -881,33 +1050,53 @@ def make_filter_bucket_kernel(filter_type: str, sim_measure_type: str,
                 out_r.append(ri)
 
         def _big(g, l_loc, r_loc, w, triu):
-            # membership-matrix dedup (same machinery as the join kernels,
-            # replacing the round-1 per-cell-pair Python loop): every member
-            # has w in its prefix by construction, so first-shared == w is
-            # exactly "no shared prefix token ranked before w"
-            pvals, prows = _gather_flat(rv, st, ln, g, limit=pl)
-            pvocab, P = _membership(pvals, prows, len(g))
-            w_idx = int(np.searchsorted(pvocab, w))
-            Pb = P[:, :w_idx]
+            # membership dedup (same machinery as the join kernels, replacing
+            # the round-1 per-cell-pair Python loop): every member has w in
+            # its prefix by construction, so first-shared == w is exactly "no
+            # shared prefix token ranked before w". Native path: one fused
+            # AND-any C pass per tile (see _big_group_native).
             gl, gr = g[l_loc], g[r_loc]
             nr = len(gr)
+            pvals, prows = _gather_flat(rv, st, ln, g, limit=pl)
+            use_native = allow_native and _nat.available()
+            if use_native:
+                below = pvals < w
+                PPk = _packed_membership(pvals[below], prows[below], len(g),
+                                         np.unique(pvals[below]))
+                AP, BP = PPk[l_loc], PPk[r_loc]
+                szl = size[gl].astype(np.int32)
+                szr = size[gr].astype(np.int32)
+            else:
+                pvocab, P = _membership(pvals, prows, len(g))
+                w_idx = int(np.searchsorted(pvocab, w))
+                Pb = P[:, :w_idx]
             for i0 in range(0, len(gl), _PAIR_CHUNK_ROWS):
                 i1 = min(i0 + _PAIR_CHUNK_ROWS, len(gl))
                 # triu cells: slice off columns j <= i0 (see _big_group)
                 j0 = i0 + 1 if triu else 0
                 if j0 >= nr:
                     continue
-                lc = l_loc[i0:i1]
-                rc = r_loc[j0:]
-                mask = Pb[lc] @ Pb[rc].T == 0
-                if triu and j0 < min(i1, nr):
-                    jb = min(i1, nr)
-                    mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
-                                          np.arange(j0, jb)[None, :])
-                ii, jj = np.nonzero(mask)
-                if len(ii) == 0:
-                    continue
-                li, ri = gl[i0:i1][ii], gr[j0:][jj]
+                if use_native:
+                    ii, jj, _cc = _nat.verify_emit(
+                        AP[i0:i1], BP[j0:], None, None,
+                        szl[i0:i1], szr[j0:], szl[i0:i1], szr[j0:],
+                        None, 1, 0, 2, 0, triu, i0, j0)
+                    if len(ii) == 0:
+                        continue
+                    li = gl[i0 + ii.astype(np.int64)]
+                    ri = gr[j0 + jj.astype(np.int64)]
+                else:
+                    lc = l_loc[i0:i1]
+                    rc = r_loc[j0:]
+                    mask = Pb[lc] @ Pb[rc].T == 0
+                    if triu and j0 < min(i1, nr):
+                        jb = min(i1, nr)
+                        mask[:, :jb - j0] &= (np.arange(i0, i1)[:, None] <
+                                              np.arange(j0, jb)[None, :])
+                    ii, jj = np.nonzero(mask)
+                    if len(ii) == 0:
+                        continue
+                    li, ri = gl[i0:i1][ii], gr[j0:][jj]
                 if filter_type == "position":
                     pk = _position_bound(li, ri)
                     li, ri = li[pk], ri[pk]

@@ -8,6 +8,7 @@ kernel's instruction mix, independent of Ray — the efficiency number printed
 here is the hardware ceiling the Ray pipeline is graded against.
 
 Usage:  python tools/matmul_microbench.py            # full 8-vs-32 report
+        python tools/matmul_microbench.py --impl native   # bit-packed C path
         python tools/matmul_microbench.py --worker N # internal per-proc run
 """
 
@@ -27,7 +28,7 @@ VOCAB = 460
 REPS_PER_TIMING = 40
 
 
-def worker_run(seconds: float = 6.0) -> dict:
+def worker_run(seconds: float = 6.0, impl: str = "gemm") -> dict:
     os.environ.setdefault("OMP_NUM_THREADS", "1")  # Ray workers are 1-thread
     import numpy as np
 
@@ -37,29 +38,46 @@ def worker_run(seconds: float = 6.0) -> dict:
     n1 = rng.integers(80, 400, (L_ROWS, 1)).astype(np.int32)
     n2 = rng.integers(80, 400, (1, R_ROWS)).astype(np.int32)
     ot = np.maximum((0.5 / 1.5 * (n1 + n2)).astype(np.int32), 1)
+    if impl == "native":
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from rayssj import native
+        assert native.available()
+        Pp = native.pack_bits(P.astype(np.uint8))
+        Mp = native.pack_bits(M.astype(np.uint8))
+        n1v = n1.ravel().copy()
+        n2v = n2.ravel().copy()
+        s = np.arange(int(n1v.max()) + int(n2v.max()) + 1, dtype=np.int64)
+        lut = np.maximum((0.5 / 1.5 * s).astype(np.int32), 1)
     t0 = time.perf_counter()
     iters = 0
     sink = 0
     while time.perf_counter() - t0 < seconds:
         for _ in range(REPS_PER_TIMING):
-            mask = np.minimum(n1, n2) >= ot
-            before = P[:L_ROWS] @ P.T
-            mask &= before == 0
-            F = M[:L_ROWS] @ M.T
-            mask &= F >= ot
-            ii, jj = np.nonzero(mask)
+            if impl == "native":
+                ii, jj, cc = native.verify_emit(
+                    Pp[:L_ROWS], Pp, Mp[:L_ROWS], Mp, n1v[:L_ROWS], n2v,
+                    n1v[:L_ROWS], n2v, lut, 0, 0, 0, 0, False, 0, 0)
+            else:
+                mask = np.minimum(n1, n2) >= ot
+                before = P[:L_ROWS] @ P.T
+                mask &= before == 0
+                F = M[:L_ROWS] @ M.T
+                mask &= F >= ot
+                ii, jj = np.nonzero(mask)
             sink += len(ii)
             iters += 1
     dt = time.perf_counter() - t0
-    # one iter = 2 GEMMs of (L_ROWS x VOCAB) @ (VOCAB x R_ROWS)
+    # one iter = 2 GEMMs of (L_ROWS x VOCAB) @ (VOCAB x R_ROWS) (work-equivalent
+    # for the native impl: same logical tile verified per iter)
     flops = iters * 2 * 2.0 * L_ROWS * R_ROWS * VOCAB
     return {"iters": iters, "sec": round(dt, 3),
             "gflops": round(flops / dt / 1e9, 2), "sink": int(sink)}
 
 
-def run_level(k: int) -> dict:
+def run_level(k: int, impl: str) -> dict:
     procs = [subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--worker"],
+        [sys.executable, os.path.abspath(__file__), "--worker", "--impl", impl],
         stdout=subprocess.PIPE, text=True) for _ in range(k)]
     outs = [json.loads(p.communicate()[0]) for p in procs]
     agg = sum(o["gflops"] for o in outs)
@@ -68,13 +86,16 @@ def run_level(k: int) -> dict:
 
 
 def main():
+    impl = "gemm"
+    if "--impl" in sys.argv:
+        impl = sys.argv[sys.argv.index("--impl") + 1]
     if "--worker" in sys.argv:
-        print(json.dumps(worker_run()))
+        print(json.dumps(worker_run(impl=impl)))
         return
-    lo = run_level(8)
-    hi = run_level(32)
+    lo = run_level(8, impl)
+    hi = run_level(32, impl)
     eff = (hi["agg_gflops"] / lo["agg_gflops"]) / (32 / 8)
-    print(json.dumps({"workload": "kernel-mix GEMM+mask (512x460 @ 460x2048)",
+    print(json.dumps({"workload": f"kernel-mix {impl} (512x460 @ 460x2048)",
                       "at_8": lo, "at_32": hi,
                       "hardware_scaling_efficiency": round(eff, 3)}))
 
