@@ -250,3 +250,40 @@ def test_ed_broadcast_vs_heavy_modes_identical(monkeypatch):
     hv_two, hv_slf = run(0)
     assert bc_two == hv_two and len(bc_two) > 0
     assert bc_slf == hv_slf
+
+
+def test_broadcast_assembly_runs_off_driver(monkeypatch):
+    """The broadcast rank/gram tables must be assembled in a Ray WORKER task,
+    never on the driver (VERDICT r03 next #8: driver RSS stays flat at the
+    256 MiB cap). Poisoning the driver-module assembly fns proves the build
+    executes in worker processes (which import rayssj.joins unpatched); the
+    returned refs must still resolve to well-formed lookup tables."""
+    import ray
+    import ray.data as rd
+
+    import rayssj.joins as J
+    from rayssj.ordering import build_token_order
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast assembly ran on the driver")
+
+    monkeypatch.setattr(J, "_ranks_side_from_tables", boom)
+    monkeypatch.setattr(J, "_ed_side_from_tables", boom)
+
+    A, _ = make_tables(with_edge_cases=False)
+    ds = rd.from_pandas(A)
+    tok = WhitespaceTokenizer()
+    clean = J._drop_missing(
+        J._tokenize_stage(ds, "ID", "name", tok, keep_string=True))
+    order = build_token_order(clean)
+    order_ref = ray.put(order)
+
+    ref = J._build_ranks_broadcast(clean, None, order_ref, True, np.int32)
+    tbl = ray.get(ref)
+    h = tbl["s0"]["h"]
+    assert len(h) == len(A) and (np.diff(h) > 0).all()
+    assert tbl["s1"] is None and len(tbl["rv"]) == int(tbl["s0"]["ln"].sum())
+
+    ed_ref = J._build_ed_broadcast(clean, None, order_ref, True)
+    ed = ray.get(ed_ref)
+    assert len(ed["s0"]["h"]) == len(A) and len(ed["strs"]) == len(A)
