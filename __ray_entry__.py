@@ -272,6 +272,45 @@ def _q_media_features(sf_dir: str):
         }), batch_format="pyarrow"))
 
 
+def _q_media_features_real(sf_dir: str):
+    """Real decode path: synthesize one solid-color binary PPM per doc
+    (deterministic in the text's byte length), decode it with the built-in
+    pure-numpy P6 codec inside the actor-pool stage, and emit the decoded
+    raster dims + the (uniform) grid feature as an integer milli-gray. Every
+    output value is independently recomputable in SQL from the same length
+    parameterization — a full decode→feature oracle, not just plumbing."""
+    import pyarrow.compute as pc
+
+    from rayssj.multimodal import ImageFeatureExtractor
+
+    def make(t: pa.Table) -> pa.Table:
+        lens = (pc.binary_length(pc.cast(t["text"], pa.binary()))
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        imgs = []
+        for L in lens:
+            w, h, c = int(L % 37 + 4), int(L % 23 + 4), int(L % 256)
+            imgs.append(b"P6\n%d %d\n255\n" % (w, h) + bytes([c]) * (w * h * 3))
+        return pa.table({"doc_id": t["doc_id"],
+                         "image": pa.array(imgs, type=pa.binary())})
+
+    out = (_docs(sf_dir)
+           .map_batches(make, batch_format="pyarrow")
+           .map_batches(ImageFeatureExtractor, batch_format="pyarrow",
+                        batch_size=64, concurrency=2,
+                        fn_constructor_kwargs=dict(col="image", dim=16,
+                                                   decoder="real"),
+                        max_restarts=0))
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "image_width": t["image_width"],
+            "image_height": t["image_height"],
+            "gray_milli": pa.array(
+                [int(round(v[0] * 1000)) for v in t["image_feat"].to_pylist()],
+                type=pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def _q_sample_pairs(sf_dir: str):
     from rayssj.sampler import sample_pairs
     from rayssj.tokenizers import WhitespaceTokenizer
@@ -365,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "cluster_components": _q_cluster,
         "media_features": _q_media_features,
+        "media_features_real": _q_media_features_real,
         "sample_pairs": _q_sample_pairs,
     }
 
@@ -513,6 +553,12 @@ FROM documents""",
        CAST(strlen(text) % 1000 + 1 AS INT) AS image_width,
        CAST(strlen(text) % 700 + 1 AS INT) AS image_height,
        64 AS n_feat, 1024 AS small_len
+FROM documents""",
+        "media_features_real": """SELECT doc_id,
+       CAST(strlen(text) % 37 + 4 AS INT) AS image_width,
+       CAST(strlen(text) % 23 + 4 AS INT) AS image_height,
+       CAST(round(((strlen(text) % 256) / 255.0 * 2 - 1) * 1000) AS BIGINT)
+           AS gray_milli
 FROM documents""",
         "minhash_exact": """WITH idx AS (
   SELECT unnest(range(1, (SELECT max(length(text)) FROM documents))) AS i),
