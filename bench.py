@@ -134,23 +134,41 @@ def run_bench() -> dict:
     return out
 
 
-_SCALE_REPLICAS = 16
-_SCALE_DIR = f"/tmp/rayssj_scaling_x{_SCALE_REPLICAS}"
+_SCALE_REPLICAS = int(os.environ.get("RAYSSJ_SCALE_REPLICAS", "64"))
+_SCALE_DIR = f"/tmp/rayssj_scaling_cipher_x{_SCALE_REPLICAS}"
+
+
+def _cipher_table(i: int) -> bytes | None:
+    """Per-replica byte-translation table: a seeded permutation of the
+    printable non-space ASCII range (0x21-0x7e). Replica 0 is identity."""
+    if i == 0:
+        return None
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + i)
+    chars = np.arange(0x21, 0x7f, dtype=np.uint8)
+    perm = chars.copy()
+    rng.shuffle(perm)
+    tbl = bytearray(range(256))
+    tbl[0x21:0x7f] = perm.tobytes()
+    return bytes(tbl)
 
 
 def _build_scaling_input() -> str:
-    """Deterministic 16x replication of sf0.1 documents (doc_ids remapped) —
-    the SAME enlarged input is used at both parallelism levels. The input is
-    sized so the 4N-level (32-CPU) run stays >= ~80 s: each time the kernels
-    get faster the steady-state floor moves (round 3: the broadcast-ranks
-    mode finished the 4x input in ~27 s at 32 CPUs -> 8x; round 4: the
-    bit-packed native kernel finished the 8x input in ~30 s -> 16x). Below
-    the floor Ray's constant costs (read/sample/schedule, ~4-5 s) and the
-    kernel straggler tail dominate the ratio and the measurement stops
-    reflecting steady-state throughput scaling. Output pairs grow
-    quadratically in replicas (every replica pair of an identical doc
-    matches), so 2x replicas ~= 4x kernel work. Same formula, same
-    both-levels-same-input protocol."""
+    """Deterministic enlargement of sf0.1 documents at the corpus's NATURAL
+    match density: each replica gets doc_ids remapped AND its text passed
+    through a per-replica character-substitution cipher (whitespace
+    preserved, replica 0 identity). A cipher is a bijection on q-grams and
+    on whitespace tokens, so WITHIN a replica every similarity is exactly
+    that of the original corpus, while ACROSS replicas token/gram sets are
+    disjoint-by-construction (modulo rare accidental collisions that the
+    verify kernel rejects) — work and output pairs scale LINEARLY in
+    replicas. The earlier identical-replica protocol (rounds 1-3) made
+    pairs grow QUADRATICALLY (every doc matched its R-1 clones at ~12.8k
+    pairs/doc by x16), so the 4N-level measurement degenerated into
+    duplicate-pair Arrow emission bandwidth instead of blocking+verification
+    throughput. The SAME enlarged input is used at both parallelism levels;
+    replicas are sized so the 4N (32-CPU) level stays >= ~80 s."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -159,11 +177,15 @@ def _build_scaling_input() -> str:
     if not os.path.exists(out):
         sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
         t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids0 = t["doc_id"].to_pylist()
+        texts0 = [s.encode() for s in t["text"].to_pylist()]
         parts = []
         for i in range(_SCALE_REPLICAS):
-            ids = pa.array([v + i * 10_000_000 for v in t["doc_id"].to_pylist()],
-                           type=pa.int64())
-            parts.append(pa.table({"doc_id": ids, "text": t["text"]}))
+            ids = pa.array([v + i * 10_000_000 for v in ids0], type=pa.int64())
+            tbl = _cipher_table(i)
+            texts = (t["text"] if tbl is None else
+                     pa.array([s.translate(tbl).decode() for s in texts0]))
+            parts.append(pa.table({"doc_id": ids, "text": texts}))
         pq.write_table(pa.concat_tables(parts), out)
     return out
 

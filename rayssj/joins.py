@@ -442,8 +442,15 @@ def _key_hash(keys: pa.Array) -> np.ndarray:
 # (or when the ordering itself is distributed — HashedTokenOrder, i.e. huge
 # vocabularies) the heavy-row shuffle path is used: it streams and never
 # requires any single object to hold the corpus.
+# Default cap 1.25 GiB: ~1 GB of broadcast state per node is routine on
+# 100-GB-class hosts (it is fetched once per NODE, not per task), and the
+# alternative heavy-row sort shuffle costs ~#buckets-fold payload
+# duplication — measured on a 160-replica scaling corpus (~117 M token
+# occurrences, est ~1.05 GiB): broadcast-mode wall 80-100 s at 32 CPUs vs
+# the heavy-row path thrashing the single-node object store (>8 min, 80%
+# system CPU). Tune DOWN via RAYSSJ_BCAST_RANKS_MAX on small-memory nodes.
 _BCAST_RANKS_MAX_BYTES = int(os.environ.get("RAYSSJ_BCAST_RANKS_MAX",
-                                            str(256 * 1024 * 1024)))
+                                            str(1280 * 1024 * 1024)))
 
 
 def _ranks_bcast_estimate(order) -> int | None:
