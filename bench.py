@@ -134,7 +134,7 @@ def run_bench() -> dict:
     return out
 
 
-_SCALE_REPLICAS = int(os.environ.get("RAYSSJ_SCALE_REPLICAS", "64"))
+_SCALE_REPLICAS = int(os.environ.get("RAYSSJ_SCALE_REPLICAS", "96"))
 _SCALE_DIR = f"/tmp/rayssj_scaling_cipher_x{_SCALE_REPLICAS}"
 
 
@@ -225,6 +225,45 @@ def run_scaling_level() -> dict:
     return out
 
 
+def run_scaling_e2e_level() -> dict:
+    """One fresh-process e2e measurement: the full linkage pipeline
+    (tokenize → block → score at jaccard ws 0.9 → transitive clustering)
+    on the scaling input. Above the driver union-find cap this exercises
+    the DISTRIBUTED label-propagation path — the north-rule pipeline shape."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+
+    from rayssj.cluster import connected_components
+    from rayssj.joins import jaccard_join
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    path = os.environ["RAYSSJ_SCALING_INPUT"]
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    docs.count()  # page-cache warm
+    # worker warm-up (untimed)
+    jaccard_join(docs, None, "doc_id", "doc_id", "text", "text",
+                 WhitespaceTokenizer(), 0.99, self_join=True).count()
+    t0 = time.time()
+    n = connected_components(
+        jaccard_join(docs, None, "doc_id", "doc_id", "text", "text",
+                     WhitespaceTokenizer(), 0.9, self_join=True),
+        "l_doc_id", "r_doc_id").count()
+    sec = time.time() - t0
+    out = {"sec": round(sec, 3), "clusters": n, "num_cpus": num_cpus}
+    ray.shutdown()
+    return out
+
+
 def run_at(ncpu: int, extra_env=None, arg=None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
     cmd = [sys.executable, os.path.abspath(__file__)] + ([arg] if arg else [])
@@ -237,6 +276,25 @@ def run_at(ncpu: int, extra_env=None, arg=None) -> dict:
 def main():
     if "--scaling-level" in sys.argv:
         print(json.dumps(run_scaling_level()))
+        return
+    if "--scaling-e2e-level" in sys.argv:
+        print(json.dumps(run_scaling_e2e_level()))
+        return
+    if "--scaling-e2e" in sys.argv:
+        path = _build_scaling_input()
+        env = {"RAYSSJ_SCALING_INPUT": path}
+        lo = min((run_at(8, env, "--scaling-e2e-level") for _ in range(2)),
+                 key=lambda r: r["sec"])
+        hi = min((run_at(32, env, "--scaling-e2e-level") for _ in range(2)),
+                 key=lambda r: r["sec"])
+        eff = (lo["sec"] / hi["sec"]) / (32 / 8)
+        print(json.dumps({
+            "input": f"sf0.1 documents cipher-x{_SCALE_REPLICAS} ({_SCALE_REPLICAS * 5000} docs)",
+            "headline": "linkage e2e: jaccard ws t=0.9 + transitive clustering",
+            "sec_8": lo["sec"], "sec_32": hi["sec"],
+            "clusters": hi["clusters"],
+            "best_of": 2,
+            "scaling_efficiency": round(eff, 3)}))
         return
     if "--scaling" in sys.argv:
         path = _build_scaling_input()

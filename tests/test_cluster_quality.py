@@ -74,3 +74,32 @@ def test_distributed_label_propagation_matches_union_find():
     d = dict(zip(dist["node"], dist["component"]))
     assert f == d
     assert f[4] == 1 and f[12] == 10 and f[21] == 20 and f[31] == 30
+
+
+def test_vectorized_driver_path_chain_strings_and_scale():
+    """The vectorized driver loop (pointer jumping over rank labels) must
+    close a deep chain (worst diameter), handle string node ids, and agree
+    with the distributed path on a random graph."""
+    import numpy as np
+    import pandas as pd
+
+    from rayssj.cluster import connected_components
+
+    # 200-node chain of string ids with shuffled edge order: component of
+    # every node is the lexicographic min ("n000")
+    ids = [f"n{i:03d}" for i in range(200)]
+    rng = np.random.default_rng(7)
+    order = rng.permutation(199)
+    chain = pd.DataFrame({"a": [ids[i] for i in order],
+                          "b": [ids[i + 1] for i in order]})
+    out = connected_components(chain, "a", "b").to_pandas()
+    assert set(out["component"]) == {"n000"} and len(out) == 200
+
+    # random int graph: vectorized driver path == distributed path
+    a = rng.integers(0, 500, 3000)
+    b = rng.integers(0, 500, 3000)
+    g = pd.DataFrame({"a": a, "b": b})
+    fast = connected_components(g, "a", "b").to_pandas()
+    dist = connected_components(g, "a", "b", driver_threshold=0).to_pandas()
+    assert (dict(zip(fast["node"], fast["component"]))
+            == dict(zip(dist["node"], dist["component"])))
