@@ -3,18 +3,26 @@ not in the reference — SURVEY.md §2 'Not present' list).
 
 connected_components(pairs_ds, l_col, r_col) → Dataset(node, component).
 
-Algorithm: iterative min-label propagation (hash-partitioned, no driver-side
-union-find over the full edge set):
-  label(v) := min(v ∪ neighbors' labels), repeated until fixpoint —
-  each round is one groupby-shuffle over (node → candidate labels);
-  converges in O(log(diameter)) rounds for typical near-dup clusters
-  (which are tiny and dense). When the EDGE LIST fits a bounded driver
-  budget (< driver_threshold edges, default 50 M ≈ 800 MB of int64 pairs —
-  the match-pair set, not the corpus), a vectorized numpy min-label +
-  pointer-jumping loop on the driver replaces the multi-shuffle rounds:
-  each distributed round costs two hash joins + a groupby over the edge
-  multiset, so a 31 M-edge graph that the driver loop closes in seconds
-  takes minutes of shuffle rounds distributed.
+Two regimes, both built on one vectorized numpy min-label kernel:
+
+- **Driver fast path** (edge list ≤ ``driver_threshold``, default 2 M edges):
+  Arrow-native block fetch → sorted-unique node index → presorted
+  ``minimum.reduceat`` min-label sweeps with pointer jumping — skips the
+  shuffle round-trip entirely for small match graphs.
+
+- **Distributed contraction** (above the cap): iterative LOCAL contraction —
+  hash-partition edges by endpoint, run the same numpy kernel per partition,
+  emit star edges (node → local min root). Each round is one map + shuffle
+  over a geometrically shrinking star set (round 1 output is bounded by
+  Σ per-partition distinct nodes, not by edge multiplicity), after which the
+  driver finishes the residual graph. Measured on a 31 M-edge match graph
+  at 32 CPUs, full linkage pipeline: contraction 11 s vs 41 s hauling the
+  edges to the driver vs >9.5 min for the round-3 label propagation (two
+  hash joins + a groupby over the full edge multiset per round).
+  Partitioning assumption: the CONTRACTED graph (≈ one star edge per
+  distinct node per partition) fits the driver after ≤ ``max_rounds``
+  rounds — true whenever node ids × 16 B fit driver memory; beyond that
+  raise rounds / plug the star set into a further distributed reduce.
 """
 
 from __future__ import annotations
@@ -23,128 +31,132 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rayssj.joins import _as_dataset, _drop_if_present, _rename_ds, hash_join, join_num_partitions
+from rayssj.joins import _as_dataset, _rename_ds, join_num_partitions
 
 
-def _min_label_round(edges_ds, labels_ds):
-    """One propagation round: join edge endpoints to labels, emit candidate
-    labels for both endpoints, keep per-node min. The prior label rides
-    along as ``old`` (null on candidate rows, so ``Min("old")`` recovers it
-    per node) — the fixpoint check is then a cheap map over the aggregated
-    output instead of a third hash join per round."""
-    from ray.data.aggregate import Min
+def _edge_arrays(edges_ds):
+    """Materialized edges Dataset → (a, b) numpy arrays via Arrow block refs
+    (no pandas conversion; ~5x faster than to_pandas at 31 M rows)."""
+    import ray
 
-    # edges carry (a, b); labels carry (node, label)
-    la_side = _rename_ds(labels_ds, {"node": "__na", "label": "la"})
-    lb_side = _rename_ds(labels_ds, {"node": "__nb", "label": "lb"})
-    e1 = hash_join(edges_ds, la_side, on=("a",), right_on=("__na",))
-    e1 = _drop_if_present(e1, ["__na"])
-    e2 = hash_join(e1, lb_side, on=("b",), right_on=("__nb",))
-    e2 = _drop_if_present(e2, ["__nb"])
-
-    def emit(batch: pa.Table) -> pa.Table:
-        la = batch["la"].to_numpy(zero_copy_only=False)
-        lb = batch["lb"].to_numpy(zero_copy_only=False)
-        m = np.minimum(la, lb)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        lab = pa.array(np.concatenate([m, m]))
-        return pa.table({"node": pa.array(np.concatenate([a, b])),
-                         "label": lab,
-                         "old": pa.nulls(2 * len(a), type=lab.type)})
-
-    def carry_old(batch: pa.Table) -> pa.Table:
-        lab = batch["label"]
-        lab = lab.combine_chunks() if isinstance(lab, pa.ChunkedArray) else lab
-        return pa.table({"node": batch["node"], "label": lab, "old": lab})
-
-    cand = e2.map_batches(emit, batch_format="pyarrow")
-    allc = cand.union(labels_ds.map_batches(carry_old, batch_format="pyarrow"))
-    return allc.groupby("node").aggregate(Min("label", alias_name="label"),
-                                          Min("old", alias_name="old"))
+    tables = ray.get(edges_ds.to_arrow_refs())
+    a_parts, b_parts = [], []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        a_parts.append(t["a"].combine_chunks().to_numpy(zero_copy_only=False))
+        b_parts.append(t["b"].combine_chunks().to_numpy(zero_copy_only=False))
+    if not a_parts:
+        return (np.zeros(0, dtype=np.int64),) * 2
+    return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
-def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 50,
-                         driver_threshold: int = 50_000_000):
+def _numpy_cc(a_np: np.ndarray, b_np: np.ndarray):
+    """Vectorized connected components over an edge list.
+
+    Returns (nodes, lab): ``nodes`` sorted-unique, ``lab[i]`` the position in
+    ``nodes`` of the min node of i's component. Min-label sweeps use a
+    one-time per-endpoint argsort + ``minimum.reduceat`` (the ufunc.at
+    scatter was ~10x slower at 31 M edges) and pointer jumping; converges in
+    O(log diameter) sweeps. Works for int and string node ids (labels are
+    positions, and ``nodes`` is sorted, so min position == min node id)."""
+    nodes = np.unique(np.concatenate([a_np, b_np]))  # SORTED
+    itype = np.int32 if len(nodes) < (1 << 31) else np.int64
+    ai = np.searchsorted(nodes, a_np).astype(itype)
+    bi = np.searchsorted(nodes, b_np).astype(itype)
+    lab = np.arange(len(nodes), dtype=itype)  # rank == position
+    perm_a = np.argsort(ai, kind="stable")
+    sa = ai[perm_a]
+    ua_first = np.concatenate(([True], sa[1:] != sa[:-1]))
+    ua = sa[ua_first]
+    starts_a = np.nonzero(ua_first)[0]
+    perm_b = np.argsort(bi, kind="stable")
+    sb = bi[perm_b]
+    ub_first = np.concatenate(([True], sb[1:] != sb[:-1]))
+    ub = sb[ub_first]
+    starts_b = np.nonzero(ub_first)[0]
+    while True:
+        prev = lab.copy()
+        m = np.minimum(lab[ai], lab[bi])
+        lab[ua] = np.minimum(lab[ua], np.minimum.reduceat(m[perm_a], starts_a))
+        lab[ub] = np.minimum(lab[ub], np.minimum.reduceat(m[perm_b], starts_b))
+        lab = np.minimum(lab, lab[lab])  # pointer jump (nodes sorted)
+        if np.array_equal(lab, prev):
+            break
+    return nodes, lab
+
+
+def _contract_group(t: pa.Table) -> pa.Table:
+    """One partition's edges → star edges (node, local min root). The star
+    set has exactly one row per distinct node in the partition, so the
+    global edge count after a round is bounded by Σ per-partition distinct
+    nodes — geometric shrink on match-pair graphs."""
+    a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+    b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+    if len(a) == 0:
+        return pa.table({"a": a, "b": b})
+    nodes, lab = _numpy_cc(a.to_numpy(zero_copy_only=False),
+                           b.to_numpy(zero_copy_only=False))
+    return pa.table({"a": pa.array(nodes), "b": pa.array(nodes[lab])})
+
+
+def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 3,
+                         driver_threshold: int = 2_000_000):
     """Returns a Dataset (node, component) with component = min node id/key of
     the component. Node ids must be orderable (ints or strings)."""
     import ray.data as rd
+
+    from rayssj.checkpoint import stable_hash64
 
     pairs_ds = _as_dataset(pairs)
     edges = _rename_ds(pairs_ds.select_columns([l_col, r_col]),
                        {l_col: "a", r_col: "b"})
 
     # materialize the edge set ONCE: every path below consumes it at least
-    # twice (count + to_pandas on the driver fast path; once per propagation
-    # round otherwise), and a lazy input would re-execute the whole upstream
-    # join pipeline each time. Match pairs are far smaller than the corpus;
-    # the object store spills if they don't fit.
+    # twice, and a lazy input would re-execute the whole upstream join
+    # pipeline each time. Match pairs are far smaller than the corpus; the
+    # object store spills if they don't fit.
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return rd.from_arrow(pa.Table.from_pandas(
             pd.DataFrame({"node": [], "component": []}),
             preserve_index=False).replace_schema_metadata(None))
-    if n_edges <= driver_threshold:
-        # bounded-graph fast path: VECTORIZED min-label propagation with
-        # pointer jumping on the driver. The edge list is capped by
-        # ``driver_threshold`` (default 50 M edges ≈ 800 MB of int64 pairs —
-        # far below the corpus itself; the distributed path below streams
-        # any size). Each sweep is O(E) numpy (minimum.at scatter + l=l[l]
-        # pointer jump), converging in O(log diameter) sweeps — the round-1
-        # per-edge python union-find loop took ~minutes at 31 M edges where
-        # this takes seconds.
-        df = edges.to_pandas()
-        nodes = pd.unique(pd.concat([df["a"], df["b"]], ignore_index=True))
-        idx = pd.Index(nodes)
-        ai = idx.get_indexer(df["a"]).astype(np.int64)
-        bi = idx.get_indexer(df["b"]).astype(np.int64)
-        order = np.argsort(nodes, kind="stable")
-        rank_of = np.empty(len(nodes), dtype=np.int64)
-        rank_of[order] = np.arange(len(nodes), dtype=np.int64)
-        # labels are RANKS in sorted-node order so min-label == min node id
-        # for any orderable node type (ints or strings)
-        lab = rank_of.copy()
-        while True:
-            prev = lab.copy()
-            m = np.minimum(lab[ai], lab[bi])
-            np.minimum.at(lab, ai, m)
-            np.minimum.at(lab, bi, m)
-            lab = np.minimum(lab, lab[order[lab]])  # pointer jump
-            if np.array_equal(lab, prev):
-                break
-        sorted_nodes = nodes[order]
-        comp = sorted_nodes[lab]
-        return rd.from_arrow(pa.Table.from_pandas(
-            pd.DataFrame({"node": nodes, "component": comp}),
-            preserve_index=False).replace_schema_metadata(None))
 
-    # distributed label propagation
-    def init_labels(batch: pa.Table) -> pa.Table:
-        a = batch["a"]
-        b = batch["b"]
-        nodes = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
-                                  b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b])
-        return pa.table({"node": nodes, "label": nodes})
+    # distributed contraction rounds until the star set fits the driver
+    n_parts = join_num_partitions() * 2
+    rounds = 0
+    while n_edges > driver_threshold and rounds < max_rounds:
+        salt = np.uint64(0x9E3779B97F4A7C15) * np.uint64(rounds + 1)
 
-    from ray.data.aggregate import Min
+        def add_part(t: pa.Table, salt=salt) -> pa.Table:
+            h = (stable_hash64(t["a"].combine_chunks()
+                               if isinstance(t["a"], pa.ChunkedArray)
+                               else t["a"])
+                 .to_numpy(zero_copy_only=False).view(np.uint64))
+            part = ((h ^ salt) % np.uint64(n_parts)).astype(np.int64)
+            return t.append_column("part", pa.array(part))
 
-    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
-                   .groupby("node").aggregate(Min("label", alias_name="label")))
+        def contract(t: pa.Table) -> pa.Table:
+            return _contract_group(t.select(["a", "b"]))
 
-    for _ in range(max_rounds):
-        agg = _min_label_round(edges, labels).materialize()
-        # fixpoint check from the fused old column — no extra join
-        changed = agg.map_batches(
-            lambda t: pa.table({"c": pa.array(
-                [int((t["label"].to_numpy(zero_copy_only=False)
-                      != t["old"].to_numpy(zero_copy_only=False)).sum())],
-                type=pa.int64())}),
-            batch_format="pyarrow").sum("c")
-        labels = agg.select_columns(["node", "label"])
-        if not changed:
+        contracted = (edges.map_batches(add_part, batch_format="pyarrow")
+                           .groupby("part")
+                           .map_groups(contract, batch_format="pyarrow")
+                           .materialize())
+        n_new = contracted.count()
+        rounds += 1
+        if n_new >= n_edges:  # stalled (pathological); driver finishes below
+            edges = contracted
             break
-    return _rename_ds(labels, {"label": "component"})
+        edges, n_edges = contracted, n_new
+
+    # driver finish on the (possibly contracted) bounded graph
+    a_np, b_np = _edge_arrays(edges)
+    nodes, lab = _numpy_cc(a_np, b_np)
+    return rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"node": nodes, "component": nodes[lab]}),
+        preserve_index=False).replace_schema_metadata(None))
 
 
 def clusters_from_matches(pairs, l_col: str, r_col: str):
