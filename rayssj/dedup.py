@@ -38,6 +38,28 @@ def _empty_pairs(ds, key_col: str):
 
 from rayssj.checkpoint import splitmix_u64 as _splitmix_u64  # noqa: E402
 
+# per-worker-process sketcher cache (joins._ORDER_CACHE pattern): stateless
+# map tasks get actor-style state amortization — the hasher's permutation /
+# plane params are built once per worker process, not per batch — without
+# paying a fresh actor-pool spin-up on every query execution
+_HASHER_CACHE: dict = {}
+
+
+def _cached_hasher_fn(cls, **kw):
+    params = tuple(sorted(kw.items()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (cls.__name__, params)
+        inst = _HASHER_CACHE.get(key)
+        if inst is None:
+            if len(_HASHER_CACHE) > 8:
+                _HASHER_CACHE.clear()
+            inst = cls(**kw)
+            _HASHER_CACHE[key] = inst
+        return inst(batch)
+
+    return fn
+
 
 def _scrub_blocks(ds, batch_size: int = 65536):
     """Purge zero-schema empty blocks from a Dataset.
@@ -254,16 +276,16 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
 
-    # max_restarts=0: Ray Data ships the actor ctor's map_transformer through
-    # the object store, and with its default max_restarts=-1 a lost arg makes
-    # actor restart fail mid-job (Ray #53727 — the bench tail warned on this
-    # stage). This engine's restart story is partition-level checkpoint/resume
-    # (rayssj.pipelines), not actor resurrection.
+    # Stateless tasks + a per-worker-process instance cache instead of an
+    # actor pool: MinHasher state is just the (a, b) permutation params,
+    # cheap to rebuild once per worker, and Ray Data spawns a FRESH actor
+    # pool per execution — measured ~2 s of the 5 s sf0.1 bench row was
+    # pool spin-up. Tasks also sidestep the Ray #53727 ctor-arg-in-object-
+    # store restart hazard entirely.
     sketched = ds.select_columns([key_col, text_col]).map_batches(
-        MinHasher, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(text_col=text_col, num_perm=num_perm,
-                                   shingle_k=shingle_k, seed=seed),
-        concurrency=concurrency, max_restarts=0)
+        _cached_hasher_fn(MinHasher, text_col=text_col, num_perm=num_perm,
+                          shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     from rayssj.joins import join_num_partitions
 
@@ -479,9 +501,8 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
     if _probe_empty(ds):
         return _empty_pairs(ds, key_col)
     sketched = ds.select_columns([key_col, text_col]).map_batches(
-        SimHasher, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(text_col=text_col, shingle_k=shingle_k),
-        concurrency=concurrency, max_restarts=0)  # Ray #53727; see MinHasher
+        _cached_hasher_fn(SimHasher, text_col=text_col, shingle_k=shingle_k),
+        batch_format="pyarrow", zero_copy_batch=True)  # see MinHasher note
 
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
