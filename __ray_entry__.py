@@ -153,9 +153,7 @@ def _q_token_counts(sf_dir: str):
     from rayssj.textstats import TokenCounter
 
     return (_docs(sf_dir)
-            .map_batches(TokenCounter, batch_format="pyarrow", concurrency=2,
-                         fn_constructor_kwargs=dict(text_col="text"),
-                         max_restarts=0)
+            .map_batches(TokenCounter(text_col="text"), batch_format="pyarrow")
             .select_columns(["doc_id", "ws_tokens", "bpe_tokens"]))
 
 
@@ -171,8 +169,7 @@ def _q_langid(sf_dir: str):
     from rayssj.textstats import LangIdScorer
 
     return (_docs(sf_dir)
-            .map_batches(LangIdScorer, batch_format="pyarrow", concurrency=2,
-                         max_restarts=0)
+            .map_batches(LangIdScorer(), batch_format="pyarrow")
             .select_columns(["doc_id", "lang_pred", "lang_score"]))
 
 

@@ -104,13 +104,13 @@ def run_bench() -> dict:
 
     from rayssj.textstats import LangIdScorer, TokenCounter, quality_stats_batch
 
+    # instances as plain task fns: the stages' only state is a pattern
+    # string, and Ray Data spawns a fresh actor pool per execution
     timed("textstats", "textstats_rows", lambda: (
         docs()
         .map_batches(quality_stats_batch, batch_format="pyarrow")
-        .map_batches(TokenCounter, batch_format="pyarrow", concurrency=4,
-                     max_restarts=0)
-        .map_batches(LangIdScorer, batch_format="pyarrow", concurrency=4,
-                     max_restarts=0)
+        .map_batches(TokenCounter(), batch_format="pyarrow")
+        .map_batches(LangIdScorer(), batch_format="pyarrow")
         .count()))
 
     from rayssj.dedup import embedding_cosine_pairs
