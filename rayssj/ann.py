@@ -26,10 +26,15 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+# per-worker-process scorer cache (see dedup._HASHER_CACHE / joins._ORDER_CACHE)
+_SCORER_CACHE: dict = {}
+
+
 class _TopKScorer:
-    """Actor-pool stage: per batch, cosine of every row against the broadcast
-    query matrix; emits (query_id, key, _sim_score) for each batch-local
-    top-k candidate. A small global top-k reduction finishes the job."""
+    """Batch scorer (cached once per worker process): cosine of every row
+    against the broadcast query matrix; emits (query_id, key, _sim_score)
+    for each batch-local top-k candidate. A small global top-k reduction
+    finishes the job."""
 
     def __init__(self, queries_ref, key_col, emb_col, k):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
@@ -75,15 +80,23 @@ def knn_cosine(ds, queries: np.ndarray, key_col: str, emb_col: str = "embedding"
             ("query_id", pa.int64()), ("key", kt),
             ("_sim_score", pa.float64())]).empty_table())
     qref = ray.put(np.asarray(queries, dtype=np.float32))
-    # max_restarts=0: the ctor takes an ObjectRef (broadcast query matrix) —
-    # with Ray Data's default max_restarts=-1 an actor restart after the ref
-    # is lost would fail anyway (Ray #53727); restart story is re-running the
-    # job, which re-puts the queries.
+    # stateless tasks + per-worker-process scorer cache (dedup/joins
+    # pattern): the broadcast query matrix is fetched once per worker, no
+    # per-query actor-pool spin-up, and no ctor-ObjectRef restart hazard
+    # (Ray #53727)
+    params = (qref.hex(), key_col, emb_col, k)
+
+    def scorer_fn(batch: pa.Table, qref=qref, params=params) -> pa.Table:
+        inst = _SCORER_CACHE.get(params)
+        if inst is None:
+            if len(_SCORER_CACHE) > 8:
+                _SCORER_CACHE.clear()
+            inst = _TopKScorer(qref, key_col, emb_col, k)
+            _SCORER_CACHE[params] = inst
+        return inst(batch)
+
     partial = ds.select_columns([key_col, emb_col]).map_batches(
-        _TopKScorer, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(queries_ref=qref, key_col=key_col,
-                                   emb_col=emb_col, k=k),
-        concurrency=concurrency, max_restarts=0)
+        scorer_fn, batch_format="pyarrow", zero_copy_batch=True)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         # deterministic tie-break on key (matches ORDER BY score DESC, key)
