@@ -64,8 +64,10 @@ class _TopKScorer:
 
 def knn_cosine(ds, queries: np.ndarray, key_col: str, emb_col: str = "embedding",
                k: int = 10, concurrency=(1, 8)):
-    """Exact cosine top-k: distributed batch-local top-k (actor pool holding
-    the broadcast query matrix) → tiny global per-query top-k reduction.
+    """Exact cosine top-k: distributed batch-local top-k (stateless tasks
+    with a per-worker cache of the broadcast query matrix) → tiny global
+    per-query top-k reduction. ``concurrency`` is accepted for backward
+    compatibility but inert — tasks scale with the cluster.
     Returns Dataset (query_id, key, _sim_score) with exactly k rows/query."""
     from rayssj.joins import _probe_empty
 

@@ -248,7 +248,8 @@ def minhash_lsh_pairs(ds, key_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       jaccard_threshold: float = 0.7, seed: int = 42,
                       concurrency=(1, 8), verify: str = "estimate"):
-    """MinHash-LSH candidate pairs: sketch (actor pool) → explode
+    """MinHash-LSH candidate pairs: sketch (cached stateless tasks;
+    ``concurrency`` accepted for compatibility but inert) → explode
     (band_id, band_hash) rows → groupby bucket → in-bucket pair-gen →
     verify → threshold.
 
@@ -496,7 +497,8 @@ def simhash_pairs(ds, key_col: str, text_col: str = "text", shingle_k: int = 5,
                   max_hamming: int = 3, concurrency=(1, 8)):
     """Near-dup candidates with Hamming(simhash) <= max_hamming, blocked on
     16-bit simhash quadrants (a pair within distance 3 shares >= 1 intact
-    quadrant of its 64-bit hash — pigeonhole)."""
+    quadrant of its 64-bit hash — pigeonhole). ``concurrency`` is accepted
+    for compatibility but inert (cached stateless sketch tasks)."""
     ds = _as_dataset(ds)
     if _probe_empty(ds):
         return _empty_pairs(ds, key_col)
