@@ -262,10 +262,10 @@ def _q_media_features(sf_dir: str):
             "doc_id": t["doc_id"],
             "image_width": t["image_width"],
             "image_height": t["image_height"],
-            "n_feat": pa.array([len(v) for v in t["image_feat"].to_pylist()],
-                               type=pa.int64()),
-            "small_len": pa.array([len(v) for v in t["image_small"].to_pylist()],
-                                  type=pa.int64()),
+            "n_feat": pc.cast(pc.list_value_length(t["image_feat"]),
+                              pa.int64()),
+            "small_len": pc.cast(pc.binary_length(t["image_small"]),
+                                 pa.int64()),
         }), batch_format="pyarrow"))
 
 

@@ -80,7 +80,16 @@ def linkage_run(input_path: str, out_root: str, *, key_col: str = "url",
 
     # ---- stage 1: extract (key-hash partitioned, resumable) -----------------
     ex_root = os.path.join(out_root, "extracted")
-    pages = rd.read_parquet(input_path)
+    # prune the read to the columns stage 1 actually consumes: on a wide
+    # production table an unprojected read_parquet drags every column
+    # (VERDICT r04 wrong #3) — project [key, html, text] ∩ file schema
+    first_file = sorted(glob.glob(input_path))[0] if "*" in input_path \
+        else input_path
+    if os.path.isdir(first_file):
+        first_file = sorted(glob.glob(os.path.join(first_file, "*.parquet")))[0]
+    file_cols = set(pq.read_schema(first_file).names)
+    need = [c for c in (key_col, html_col, text_col) if c in file_cols]
+    pages = rd.read_parquet(input_path, columns=need)
     has_html = html_col in pages.schema().names
 
     def ex_stage(part_ds):
