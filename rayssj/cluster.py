@@ -14,18 +14,29 @@ Two regimes, both built on one vectorized numpy min-label kernel:
   hash-partition edges by endpoint, run the same numpy kernel per partition,
   emit star edges (node → local min root). Each round is one map + shuffle
   over a geometrically shrinking star set (round 1 output is bounded by
-  Σ per-partition distinct nodes, not by edge multiplicity), after which the
-  driver finishes the residual graph. Measured on a 31 M-edge match graph
-  at 32 CPUs, full linkage pipeline: contraction 11 s vs 41 s hauling the
-  edges to the driver vs >9.5 min for the round-3 label propagation (two
-  hash joins + a groupby over the full edge multiset per round).
-  Partitioning assumption: the CONTRACTED graph (≈ one star edge per
-  distinct node per partition) fits the driver after ≤ ``max_rounds``
-  rounds — true whenever node ids × 16 B fit driver memory; beyond that
-  raise rounds / plug the star set into a further distributed reduce.
+  Σ per-partition distinct nodes, not by edge multiplicity). Measured on a
+  31 M-edge match graph at 32 CPUs, full linkage pipeline: contraction 11 s
+  vs 41 s hauling the edges to the driver vs >9.5 min for the round-3 label
+  propagation (two hash joins + a groupby over the full edge multiset per
+  round).
+
+  The star set of a contracted graph cannot shrink below its node count, so
+  when rounds stall above ``driver_threshold`` the loop escalates to
+  SYMMETRIZED rounds: each edge is routed to BOTH endpoints' partitions.
+  Then every chain junction (n→p alongside p→q) and every multi-parent node
+  (n→r1, n→r2) is co-located in some partition, so a round that changes
+  nothing — detected by a distributed (count, multiset-checksum) fixpoint —
+  proves the set is exact depth-1 stars with component-minimum roots. At
+  fixpoint the labels are emitted as a distributed ``groupby(node).min``;
+  NO path materializes an unbounded edge set on the driver. The driver
+  fast-path only ever sees ≤ ``driver_threshold`` edges; the one remaining
+  driver pull (``max_rounds`` exhausted without fixpoint — pathological)
+  warns with the measured size first.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -100,10 +111,39 @@ def _contract_group(t: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(nodes), "b": pa.array(nodes[lab])})
 
 
-def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 3,
+def _edge_checksum(edges_ds):
+    """Distributed multiset checksum of an (a, b) edge Dataset: u64 sum of a
+    per-row avalanche over both endpoint hashes. Order/partitioning invariant;
+    equal (count, checksum) across consecutive rounds ⇒ identical multisets
+    with overwhelming probability. One tiny row per block reaches the driver."""
+    from rayssj.checkpoint import splitmix_u64, stable_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c": pa.array([0], type=pa.uint64())})
+        ha = (stable_hash64(t["a"].combine_chunks())
+              .to_numpy(zero_copy_only=False).view(np.uint64))
+        hb = (stable_hash64(t["b"].combine_chunks())
+              .to_numpy(zero_copy_only=False).view(np.uint64))
+        row = splitmix_u64(ha ^ (hb * np.uint64(0xC2B2AE3D27D4EB4F)))
+        tot = np.bitwise_and(np.add.reduce(row, dtype=np.uint64),
+                             np.uint64(0xFFFFFFFFFFFFFFFF))
+        return pa.table({"c": pa.array([int(tot)], type=pa.uint64())})
+
+    parts = edges_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return sum(int(r["c"]) for r in parts) & 0xFFFFFFFFFFFFFFFF
+
+
+def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 24,
                          driver_threshold: int = 2_000_000):
     """Returns a Dataset (node, component) with component = min node id/key of
-    the component. Node ids must be orderable (ints or strings)."""
+    the component. Node ids must be orderable (ints or strings).
+
+    Escalation ladder (module docstring): cheap asymmetric contraction rounds
+    while they shrink → symmetrized rounds to a (count, checksum) fixpoint
+    that IS the answer, emitted distributed → driver finish only for edge
+    sets already ≤ ``driver_threshold`` (or, after a warning with the
+    measured size, when ``max_rounds`` exhausts without fixpoint)."""
     import ray.data as rd
 
     from rayssj.checkpoint import stable_hash64
@@ -123,19 +163,38 @@ def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 3,
             pd.DataFrame({"node": [], "component": []}),
             preserve_index=False).replace_schema_metadata(None))
 
-    # distributed contraction rounds until the star set fits the driver
+    # distributed contraction rounds until the star set fits the driver or
+    # the symmetric rounds reach the stars-only fixpoint
     n_parts = join_num_partitions() * 2
-    rounds = 0
+    rounds, symmetric = 0, False
+    prev_csum = None
     while n_edges > driver_threshold and rounds < max_rounds:
-        salt = np.uint64(0x9E3779B97F4A7C15) * np.uint64(rounds + 1)
+        salt = np.uint64((0x9E3779B97F4A7C15 * (rounds + 1))
+                         & 0xFFFFFFFFFFFFFFFF)
 
-        def add_part(t: pa.Table, salt=salt) -> pa.Table:
-            h = (stable_hash64(t["a"].combine_chunks()
-                               if isinstance(t["a"], pa.ChunkedArray)
-                               else t["a"])
-                 .to_numpy(zero_copy_only=False).view(np.uint64))
-            part = ((h ^ salt) % np.uint64(n_parts)).astype(np.int64)
-            return t.append_column("part", pa.array(part))
+        def add_part(t: pa.Table, salt=salt, sym=symmetric) -> pa.Table:
+            ha = (stable_hash64(t["a"].combine_chunks()
+                                if isinstance(t["a"], pa.ChunkedArray)
+                                else t["a"])
+                  .to_numpy(zero_copy_only=False).view(np.uint64))
+            pa_part = ((ha ^ salt) % np.uint64(n_parts)).astype(np.int64)
+            out = t.append_column("part", pa.array(pa_part))
+            if not sym:
+                return out
+            # symmetric round: route a second copy by the b-endpoint so chain
+            # junctions and multi-parents co-locate (skip rows where both
+            # endpoints land in the same partition — no information added)
+            hb = (stable_hash64(t["b"].combine_chunks()
+                                if isinstance(t["b"], pa.ChunkedArray)
+                                else t["b"])
+                  .to_numpy(zero_copy_only=False).view(np.uint64))
+            pb_part = ((hb ^ salt) % np.uint64(n_parts)).astype(np.int64)
+            diff = np.nonzero(pb_part != pa_part)[0]
+            if len(diff) == 0:
+                return out
+            extra = t.take(pa.array(diff)).append_column(
+                "part", pa.array(pb_part[diff]))
+            return pa.concat_tables([out, extra])
 
         def contract(t: pa.Table) -> pa.Table:
             return _contract_group(t.select(["a", "b"]))
@@ -146,12 +205,32 @@ def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 3,
                            .materialize())
         n_new = contracted.count()
         rounds += 1
-        if n_new >= n_edges:  # stalled (pathological); driver finishes below
-            edges = contracted
-            break
+        if symmetric:
+            csum = _edge_checksum(contracted)
+            if n_new == n_edges and csum == prev_csum:
+                # fixpoint: every partition's local view is fully contracted
+                # AND every junction is co-located somewhere ⇒ the multiset
+                # is exact stars (node → component min, roots self-mapped).
+                # Emit the labels distributed — never touches the driver.
+                labels = _rename_ds(contracted.groupby("a").min("b"),
+                                    {"a": "node", "min(b)": "component"})
+                return labels
+            prev_csum = csum
+        elif n_new > int(0.8 * n_edges):
+            # asymmetric rounds stalled (a contracted star set can't shrink
+            # below its node count): escalate to symmetric-fixpoint mode
+            symmetric = True
+            prev_csum = _edge_checksum(contracted)
         edges, n_edges = contracted, n_new
 
-    # driver finish on the (possibly contracted) bounded graph
+    if n_edges > driver_threshold:
+        warnings.warn(
+            f"connected_components: no fixpoint after {rounds} rounds; "
+            f"pulling {n_edges} residual star edges (~{n_edges * 16 >> 20} "
+            f"MiB id-bytes) to the driver — raise max_rounds or "
+            f"driver_threshold if this OOMs", RuntimeWarning)
+
+    # driver finish on the (bounded, or warned-about) contracted graph
     a_np, b_np = _edge_arrays(edges)
     nodes, lab = _numpy_cc(a_np, b_np)
     return rd.from_arrow(pa.Table.from_pandas(

@@ -103,3 +103,89 @@ def test_vectorized_driver_path_chain_strings_and_scale():
     dist = connected_components(g, "a", "b", driver_threshold=0).to_pandas()
     assert (dict(zip(fast["node"], fast["component"]))
             == dict(zip(dist["node"], dist["component"])))
+
+
+def test_offdriver_finish_100k_edges():
+    """VERDICT r04 next #2 done-criterion: driver_threshold=1000 on a
+    100 k-edge graph — contraction + symmetric fixpoint must finish the
+    residual star set off-driver and agree with the driver fast path."""
+    import warnings as _w
+
+    import numpy as np
+    import pandas as pd
+
+    from rayssj.cluster import connected_components
+
+    rng = np.random.default_rng(11)
+    n_nodes = 40_000
+    g = pd.DataFrame({"a": rng.integers(0, n_nodes, 100_000),
+                      "b": rng.integers(0, n_nodes, 100_000)})
+    fast = connected_components(g, "a", "b").to_pandas()  # 100k < default cap
+    with _w.catch_warnings():
+        # the distributed run must never take the warned driver pull
+        _w.filterwarnings("error", message="connected_components: no fixpoint")
+        dist = connected_components(g, "a", "b",
+                                    driver_threshold=1000).to_pandas()
+    assert (dict(zip(fast["node"], fast["component"]))
+            == dict(zip(dist["node"], dist["component"])))
+
+
+def test_symmetric_fixpoint_structures():
+    """The symmetric-fixpoint criterion (count+checksum stable ⇒ exact stars)
+    must label chains, cliques, multi-parent stars and isolated self-loops
+    correctly with driver_threshold=0 (every edge set 'too big' for the
+    driver) — and never fall through to the warned driver pull."""
+    import warnings as _w
+
+    import numpy as np
+    import pandas as pd
+
+    from rayssj.cluster import connected_components
+
+    rng = np.random.default_rng(3)
+    edges = []
+    # deep chain 0..99
+    edges += [(i, i + 1) for i in range(99)]
+    # clique on 200..219 (dense multi-parent)
+    cl = list(range(200, 220))
+    edges += [(x, y) for x in cl for y in cl if x < y]
+    # star with high-id root listed first (order must not matter)
+    edges += [(300, t) for t in range(301, 340)]
+    # self-loop singleton + duplicate edges
+    edges += [(400, 400), (0, 1), (0, 1)]
+    # random blob
+    ra = rng.integers(500, 700, 400)
+    rb = rng.integers(500, 700, 400)
+    edges += list(zip(ra.tolist(), rb.tolist()))
+    g = pd.DataFrame(edges, columns=["a", "b"])
+
+    fast = connected_components(g, "a", "b").to_pandas()
+    with _w.catch_warnings():
+        _w.filterwarnings("error", message="connected_components: no fixpoint")
+        dist = connected_components(g, "a", "b",
+                                    driver_threshold=0).to_pandas()
+    f = dict(zip(fast["node"], fast["component"]))
+    d = dict(zip(dist["node"], dist["component"]))
+    assert f == d
+    assert d[99] == 0 and d[219] == 200 and d[339] == 300 and d[400] == 400
+
+
+def test_maxrounds_exhaustion_warns_and_is_correct():
+    """max_rounds too small to reach fixpoint: the driver pull must warn with
+    the measured residual size (ADVICE r04 #1) and still return the right
+    labels."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from rayssj.cluster import connected_components
+
+    rng = np.random.default_rng(5)
+    g = pd.DataFrame({"a": rng.integers(0, 2_000, 10_000),
+                      "b": rng.integers(0, 2_000, 10_000)})
+    fast = connected_components(g, "a", "b").to_pandas()
+    with pytest.warns(RuntimeWarning, match="no fixpoint after 1 rounds"):
+        dist = connected_components(g, "a", "b", driver_threshold=0,
+                                    max_rounds=1).to_pandas()
+    assert (dict(zip(fast["node"], fast["component"]))
+            == dict(zip(dist["node"], dist["component"])))
