@@ -30,6 +30,31 @@ if _im.version("ray").startswith("2.49"):
         "ray_data_logging.yaml"))
 
 
+def _calibration_probe(seconds: float = 4.0) -> dict:
+    """Single-process run of the set-sim kernel microbench
+    (tools/matmul_microbench.py --worker) in a fresh OS process: what THIS
+    host delivers for the kernel's instruction mix right now, in GFLOP/s.
+    run_bench() embeds one probe before and one after the timed reps so a
+    round-over-round BENCH delta can be attributed: if the probes moved with
+    the query times, the host moved, not the code (VERDICT r04 next #1 —
+    identical jobs on this contended box swing ±50%)."""
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools",
+                        "matmul_microbench.py")
+    impl = "gemm"
+    try:
+        from rayssj import native
+        if native.available():
+            impl = "native"
+    except Exception:
+        pass
+    res = subprocess.run(
+        [sys.executable, tool, "--worker", "--impl", impl,
+         "--seconds", str(seconds)],
+        capture_output=True, text=True, check=True)
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    return {"impl": impl, "gflops": out["gflops"]}
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,23 +80,19 @@ def run_bench() -> dict:
     # warm the OS page cache so we measure compute + shuffle, not first-read IO
     rd.read_parquet(f"{sf_dir}/documents.parquet").count()
 
-    timings: dict[str, float] = {}
     pairs: dict[str, int] = {}
-    # median-of-N per query: single runs on this contended shared host swing
-    # ±50% (BASELINE.md "Measurement health") and made round-over-round BENCH
-    # deltas unattributable
-    reps = int(os.environ.get("RAYSSJ_BENCH_REPS", "3"))
+    # N reps per query, INTERLEAVED round-robin across queries (rep 1 of every
+    # query, then rep 2 of every query, ...): a host-load burst then smears
+    # across all queries instead of poisoning one query's whole sample, and
+    # min/median/spread per query expose whether a delta is noise. Single runs
+    # on this contended shared host swing ±50% (BASELINE.md "Measurement
+    # health") and made round-over-round BENCH deltas unattributable.
+    reps = int(os.environ.get("RAYSSJ_BENCH_REPS", "5"))
+
+    specs: list[tuple[str, str, object]] = []
 
     def timed(name: str, count_key: str, fn):
-        import statistics
-
-        secs, n = [], 0
-        for _ in range(reps):
-            t0 = time.time()
-            n = fn()
-            secs.append(time.time() - t0)
-        timings[name] = round(statistics.median(secs), 3)
-        pairs[count_key] = n
+        specs.append((name, count_key, fn))
 
     def docs():
         return rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -126,9 +147,44 @@ def run_bench() -> dict:
                      WhitespaceTokenizer(), 0.9, self_join=True),
         "l_doc_id", "r_doc_id").count())
 
+    # execute: calibration probe → interleaved reps → calibration probe
+    import statistics
+
+    cal_before = _calibration_probe()
+    samples: dict[str, list[float]] = {name: [] for name, _, _ in specs}
+    for _rep in range(reps):
+        for name, count_key, fn in specs:
+            t0 = time.time()
+            n = fn()
+            samples[name].append(time.time() - t0)
+            pairs[count_key] = n
+
+    cal_after = _calibration_probe()
+
+    timings = {name: round(statistics.median(s), 3)
+               for name, s in samples.items()}
+    detail = {}
+    for name, s in samples.items():
+        med = statistics.median(s)
+        detail[name] = {
+            "min": round(min(s), 3), "median": round(med, 3),
+            "max": round(max(s), 3),
+            "spread_pct": round(100.0 * (max(s) - min(s)) / med, 1)}
+    drift = (100.0 * (cal_after["gflops"] - cal_before["gflops"])
+             / cal_before["gflops"]) if cal_before["gflops"] else 0.0
+    calibration = {
+        "workload": "set-sim kernel microbench, 1 proc "
+                    "(tools/matmul_microbench.py)",
+        "impl": cal_before["impl"],
+        "gflops_before": cal_before["gflops"],
+        "gflops_after": cal_after["gflops"],
+        "host_drift_pct": round(drift, 1)}
+
     headline = timings["linkage_e2e"]
     out = {"metric": "e2e_linkage_sec", "value": headline, "unit": "sec",
-           "queries": timings, "pairs": pairs, "reps": reps,
+           "queries": timings, "queries_detail": detail,
+           "calibration": calibration, "pairs": pairs, "reps": reps,
+           "interleaved": True,
            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1], "num_cpus": num_cpus}
     ray.shutdown()
     return out
@@ -179,6 +235,16 @@ def _build_scaling_input() -> str:
         t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         ids0 = t["doc_id"].to_pylist()
         texts0 = [s.encode() for s in t["text"].to_pylist()]
+        # the cipher permutes only printable ASCII (0x21-0x7e): bytes >= 0x7f
+        # are identity-mapped, so tokens differing only in such bytes would
+        # collide across replicas and break the disjointness invariant the
+        # linear-scaling protocol rests on (ADVICE r04). Guard it.
+        n_bytes = sum(len(s) for s in texts0)
+        n_nonascii = sum(sum(b >= 0x7f for b in s) for s in texts0)
+        assert n_bytes == 0 or n_nonascii / n_bytes < 1e-3, (
+            f"scaling corpus is {100 * n_nonascii / n_bytes:.2f}% non-ASCII; "
+            "the byte-substitution cipher only guarantees cross-replica "
+            "token disjointness for (near-)ASCII corpora")
         parts = []
         for i in range(_SCALE_REPLICAS):
             ids = pa.array([v + i * 10_000_000 for v in ids0], type=pa.int64())
@@ -228,8 +294,9 @@ def run_scaling_level() -> dict:
 def run_scaling_e2e_level() -> dict:
     """One fresh-process e2e measurement: the full linkage pipeline
     (tokenize → block → score at jaccard ws 0.9 → transitive clustering)
-    on the scaling input. Above the driver union-find cap this exercises
-    the DISTRIBUTED label-propagation path — the north-rule pipeline shape."""
+    on the scaling input. Above the driver fast-path cap this exercises the
+    DISTRIBUTED iterative-local-contraction path (rayssj/cluster.py) — the
+    north-rule pipeline shape."""
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     import ray
 

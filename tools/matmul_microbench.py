@@ -89,8 +89,11 @@ def main():
     impl = "gemm"
     if "--impl" in sys.argv:
         impl = sys.argv[sys.argv.index("--impl") + 1]
+    seconds = 6.0
+    if "--seconds" in sys.argv:
+        seconds = float(sys.argv[sys.argv.index("--seconds") + 1])
     if "--worker" in sys.argv:
-        print(json.dumps(worker_run(impl=impl)))
+        print(json.dumps(worker_run(seconds=seconds, impl=impl)))
         return
     lo = run_level(8, impl)
     hi = run_level(32, impl)
