@@ -308,6 +308,58 @@ def _q_media_features_real(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def _q_media_features_png(sf_dir: str):
+    """Built-in PNG decode path (VERDICT r04 next #3): synthesize one
+    horizontal-gradient PNG per doc — pixel(y, x) = (c + x) % 256 gray with
+    c = byte-length % 256 — cycling scanline filters 0-4 and rotating the
+    color type gray/RGB/palette by doc, decode it with the built-in
+    stdlib-zlib codec inside the actor-pool stage, and emit the raster dims
+    plus two grid features as integer milli-grays (grid x=0 → c, x=w-1 →
+    (c+w-1) % 256). Every output value is recomputable in SQL from the
+    length parameterization, so the DuckDB value-hash oracle covers inflate
+    + unfiltering (all five filters) + palette/gray/RGB conversion + the
+    feature grid end-to-end."""
+    import pyarrow.compute as pc
+
+    from rayssj.multimodal import ImageFeatureExtractor, encode_png
+
+    def make(t: pa.Table) -> pa.Table:
+        lens = (pc.binary_length(pc.cast(t["text"], pa.binary()))
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        imgs = []
+        for L in lens:
+            c, w, h = int(L % 256), int(L % 29 + 4), int(L % 17 + 4)
+            row = ((c + np.arange(w)) % 256).astype(np.uint8)
+            img = np.repeat(np.tile(row, (h, 1))[..., None], 3, axis=2)
+            imgs.append(encode_png(img, color_type=(0, 2, 3)[L % 3],
+                                   filter_type="cycle"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "image": pa.array(imgs, type=pa.binary())})
+
+    out = (_docs(sf_dir)
+           .map_batches(make, batch_format="pyarrow")
+           .map_batches(ImageFeatureExtractor, batch_format="pyarrow",
+                        batch_size=64, concurrency=2,
+                        fn_constructor_kwargs=dict(col="image", dim=16,
+                                                   decoder="real"),
+                        max_restarts=0))
+
+    def shape(t: pa.Table) -> pa.Table:
+        f0 = pc.list_element(t["image_feat"], 0)
+        f3 = pc.list_element(t["image_feat"], 3)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "image_width": t["image_width"],
+            "image_height": t["image_height"],
+            "gray_milli0": pc.cast(pc.round(pc.multiply(f0, 1000.0)),
+                                   pa.int64()),
+            "gray_milli3": pc.cast(pc.round(pc.multiply(f3, 1000.0)),
+                                   pa.int64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_sample_pairs(sf_dir: str):
     from rayssj.sampler import sample_pairs
     from rayssj.tokenizers import WhitespaceTokenizer
@@ -402,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_components": _q_cluster,
         "media_features": _q_media_features,
         "media_features_real": _q_media_features_real,
+        "media_features_png": _q_media_features_png,
         "sample_pairs": _q_sample_pairs,
     }
 
@@ -556,6 +609,14 @@ FROM documents""",
        CAST(strlen(text) % 23 + 4 AS INT) AS image_height,
        CAST(round(((strlen(text) % 256) / 255.0 * 2 - 1) * 1000) AS BIGINT)
            AS gray_milli
+FROM documents""",
+        "media_features_png": """SELECT doc_id,
+       CAST(strlen(text) % 29 + 4 AS INT) AS image_width,
+       CAST(strlen(text) % 17 + 4 AS INT) AS image_height,
+       CAST(round(((strlen(text) % 256) / 255.0 * 2 - 1) * 1000) AS BIGINT)
+           AS gray_milli0,
+       CAST(round((((strlen(text) % 256 + strlen(text) % 29 + 3) % 256)
+                   / 255.0 * 2 - 1) * 1000) AS BIGINT) AS gray_milli3
 FROM documents""",
         "minhash_exact": """WITH idx AS (
   SELECT unnest(range(1, (SELECT max(length(text)) FROM documents))) AS i),

@@ -9,7 +9,8 @@ output layout — is real and tested regardless of what codecs exist on the
 node.
 
 ``decoder="real"`` actually decodes the payload. Built-in pure-numpy/stdlib
-codecs cover PPM/PGM (P6/P5) and uncompressed 24-bit BMP images and PCM WAV
+codecs cover PNG (8-bit, non-interlaced; stdlib zlib inflate + per-scanline
+unfiltering), PPM/PGM (P6/P5) and uncompressed 24-bit BMP images and PCM WAV
 audio; anything else falls through to an external library (Pillow for images,
 soundfile for audio, PyAV for video) when importable, else raises with the
 library it would use. The built-in codecs make the real path fully testable
@@ -110,19 +111,216 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
     return arr[::-1] if bottom_up else arr
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+class _PngCapabilityError(ValueError):
+    """A well-formed PNG outside the built-in codec's envelope (16-bit or
+    interlaced): defer to Pillow when importable instead of failing."""
+# channels per pixel by PNG color type: 0 gray, 2 RGB, 3 palette index,
+# 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Filtered scanlines → (h, w*ch) reconstructed uint8. Filters 0 (None)
+    and 2 (Up) are whole-row vectorized; 1 (Sub) is a per-channel mod-256
+    prefix sum; 3 (Average) and 4 (Paeth) carry a dependency along x, so the
+    loop is over pixel COLUMNS with the channel lanes vectorized — rows of a
+    web-scale thumbnail corpus are small, and the per-batch actor stage keeps
+    batches small by contract."""
+    stride = w * ch
+    rows = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    zero_row = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        r = data[y]
+        prior = out[y - 1] if y else zero_row
+        if f == 0:
+            out[y] = r
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] → prefix sum
+            out[y] = (r.reshape(w, ch).astype(np.uint32).cumsum(axis=0)
+                      .astype(np.uint8).reshape(stride))
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            out[y] = r + prior
+        elif f == 3:  # Average
+            rec = out[y]
+            rec[:ch] = r[:ch] + (prior[:ch] >> 1)
+            for x in range(ch, stride, ch):
+                rec[x:x + ch] = r[x:x + ch] + (
+                    (rec[x - ch:x].astype(np.uint16)
+                     + prior[x:x + ch]) >> 1).astype(np.uint8)
+        elif f == 4:  # Paeth
+            rec = out[y]
+            pr16 = prior.astype(np.int16)
+            rec[:ch] = r[:ch] + prior[:ch]  # a=c=0 ⇒ predictor = b
+            for x in range(ch, stride, ch):
+                a = rec[x - ch:x].astype(np.int16)
+                b = pr16[x:x + ch]
+                c = pr16[x - ch:x]
+                p = a + b - c
+                pa = np.abs(p - a)
+                pb = np.abs(p - b)
+                pc_ = np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc_), a,
+                                np.where(pb <= pc_, b, c))
+                rec[x:x + ch] = r[x:x + ch] + pred.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB. Built-in: stdlib zlib inflate +
+    vectorized per-scanline unfiltering. Handles bit depth 8, color types
+    0/2/3/4/6, non-interlaced (the shapes a thumbnail pipeline meets);
+    16-bit / interlaced rasters raise toward the Pillow fallback."""
+    import zlib
+
+    w = h = bd = ct = interlace = None
+    plte = None
+    idat = []
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bd, ct, interlace = data[8], data[9], data[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    if bd != 8 or interlace != 0:
+        raise _PngCapabilityError(
+            "built-in PNG codec handles 8-bit non-interlaced only "
+            f"(got depth={bd}, interlace={interlace})")
+    ch = _PNG_CHANNELS.get(ct)
+    if ch is None:
+        raise ValueError(f"bad PNG color type {ct}")
+    rec = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, ch)
+    px = rec.reshape(h, w, ch)
+    if ct == 2:
+        return px
+    if ct == 6:
+        return np.ascontiguousarray(px[..., :3])
+    if ct == 3:
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        return plte[px[..., 0]]
+    # 0 (gray) / 4 (gray+alpha): replicate the luma channel
+    return np.repeat(px[..., :1], 3, axis=2)
+
+
+def encode_png(img: np.ndarray, color_type: int = 2,
+               filter_type=None, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (stdlib zlib deflate). color_type:
+    2 RGB, 0 grayscale (uses the R channel; caller passes a gray raster),
+    3 palette (image must have ≤ 256 distinct colors). filter_type: a single
+    filter 0-4 for every scanline, "cycle" to rotate through all five, or
+    None (0). Fixture/sink counterpart of ``_decode_png`` — also usable as a
+    media_pipeline output encoder."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    plte = b""
+    if color_type == 2:
+        px = img.reshape(h, w * 3)
+        ch = 3
+    elif color_type == 0:
+        px = np.ascontiguousarray(img[..., 0]).reshape(h, w)
+        ch = 1
+    elif color_type == 3:
+        colors, idx = np.unique(img.reshape(-1, 3), axis=0,
+                                return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(f"{len(colors)} distinct colors > 256: palette "
+                             "encoding impossible")
+        plte = colors.astype(np.uint8).tobytes()
+        px = idx.astype(np.uint8).reshape(h, w)
+        ch = 1
+    else:
+        raise ValueError("encode_png supports color_type 0/2/3")
+
+    ftypes = ([filter_type] * h if isinstance(filter_type, int)
+              else ([i % 5 for i in range(h)] if filter_type == "cycle"
+                    else [0] * h))
+    stride = w * ch
+    lines = bytearray()
+    prior = np.zeros(stride, np.uint8)
+    for y in range(h):
+        rec = px[y]
+        f = ftypes[y]
+        if f == 0:
+            raw = rec
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.uint8), rec[:-ch]])
+            raw = rec - left
+        elif f == 2:
+            raw = rec - prior
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.uint8), rec[:-ch]])
+            raw = rec - ((left.astype(np.uint16) + prior) >> 1).astype(np.uint8)
+        elif f == 4:
+            a = np.concatenate([np.zeros(ch, np.int16),
+                                rec[:-ch].astype(np.int16)])
+            b = prior.astype(np.int16)
+            c = np.concatenate([np.zeros(ch, np.int16), b[:-ch]])
+            p = a + b - c
+            pa, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc_), a,
+                            np.where(pb <= pc_, b, c))
+            raw = rec - pred.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        lines.append(f)
+        lines += raw.tobytes()
+        prior = rec
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(bytes(lines), level))
+    return out + chunk(b"IEND", b"")
+
+
 def _decode_image(buf: bytes) -> np.ndarray:
-    """Image bytes → (h, w, 3) uint8 RGB: built-in PPM/PGM/BMP codecs first,
-    Pillow for anything else when importable."""
+    """Image bytes → (h, w, 3) uint8 RGB: built-in PNG/PPM/PGM/BMP codecs
+    first, Pillow for anything else when importable."""
     if buf[:2] in (b"P6", b"P5"):
         return _decode_ppm(buf)
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
+    if buf[:8] == _PNG_SIG:
+        try:
+            return _decode_png(buf)
+        except _PngCapabilityError:
+            pass  # 16-bit/interlaced: fall through to Pillow if present
     try:
         from PIL import Image  # noqa: import-guard — optional dependency
     except ImportError:
         raise ValueError(
-            "unsupported image format for the built-in codecs (PPM/PGM/"
-            "24-bit BMP); install Pillow for JPEG/PNG/…") from None
+            "unsupported image format for the built-in codecs (8-bit PNG/"
+            "PPM/PGM/24-bit BMP); install Pillow for JPEG/16-bit PNG/…"
+        ) from None
     return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
 
 

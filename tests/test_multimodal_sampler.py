@@ -114,6 +114,82 @@ def test_real_image_decode_ppm_bmp():
     assert feats[2] == [0.0] * 16
 
 
+def test_png_roundtrip_all_filters_and_color_types():
+    """Built-in PNG codec (VERDICT r04 next #3): encode→decode must be
+    identity for every scanline filter (None/Sub/Up/Average/Paeth, plus
+    per-row cycling) across RGB, grayscale and paletted color types,
+    including 1×1 and non-square rasters and mod-256 wraparound content."""
+    from rayssj.multimodal import _decode_png, encode_png
+
+    rng = np.random.default_rng(0)
+    for h, w in [(1, 1), (3, 7), (23, 5), (16, 16)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        gray = np.repeat(img[..., :1], 3, axis=2)
+        pal = (rng.integers(0, 6, (h, w, 1), dtype=np.uint8) * 40).repeat(
+            3, axis=2)
+        for ft in [0, 1, 2, 3, 4, "cycle", None]:
+            assert np.array_equal(_decode_png(encode_png(img, 2, ft)), img)
+            assert np.array_equal(_decode_png(encode_png(gray, 0, ft)), gray)
+            assert np.array_equal(_decode_png(encode_png(pal, 3, ft)), pal)
+    # gradient with wraparound (exercises mod-256 prefix sums)
+    row = ((200 + np.arange(300)) % 256).astype(np.uint8)
+    grad = np.repeat(np.tile(row, (9, 1))[..., None], 3, axis=2)
+    for ft in [1, 3, 4, "cycle"]:
+        assert np.array_equal(_decode_png(encode_png(grad, 2, ft)), grad)
+
+
+def test_png_capability_error_and_dispatch():
+    """16-bit PNGs are outside the built-in envelope: _decode_image must
+    fall through toward Pillow (raising the install hint when absent), while
+    8-bit PNGs decode built-in via the signature dispatch. Palette overflow
+    in the encoder must raise."""
+    import zlib
+
+    from rayssj.multimodal import _decode_image, encode_png
+
+    img = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    assert np.array_equal(_decode_image(encode_png(img)), img)
+
+    # corrupt bit depth to 16 (re-sign the IHDR CRC so only depth changes)
+    buf = bytearray(encode_png(img))
+    ihdr = bytes(buf[16:29])
+    ihdr16 = ihdr[:8] + bytes([16]) + ihdr[9:]
+    buf[16:29] = ihdr16
+    buf[29:33] = zlib.crc32(b"IHDR" + ihdr16).to_bytes(4, "big")
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(ValueError, match="install Pillow"):
+            _decode_image(bytes(buf))
+
+    rng = np.random.default_rng(1)
+    many = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(many, color_type=3)
+
+
+def test_png_feature_extractor_stage():
+    """PNG payloads through the actor-pool feature stage: decoded dims and
+    the uniform-gray feature must come from the real raster."""
+    import pyarrow as pa
+
+    from rayssj.multimodal import ImageFeatureExtractor, encode_png
+
+    solid = np.full((10, 21, 3), 120, dtype=np.uint8)
+    batch = pa.table({"image": [encode_png(solid, 2, "cycle"),
+                                encode_png(solid, 3, 4), None]})
+    out = ImageFeatureExtractor(col="image", dim=16, decoder="real")(batch)
+    assert out["image_width"].to_pylist() == [21, 21, 0]
+    assert out["image_height"].to_pylist() == [10, 10, 0]
+    feats = out["image_feat"].to_pylist()
+    assert feats[0] == pytest.approx([120 / 255 * 2 - 1] * 16, abs=1e-6)
+    assert feats[0] == feats[1]
+
+
 def test_real_audio_decode_wav():
     import pyarrow as pa
 
