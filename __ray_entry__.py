@@ -369,6 +369,21 @@ def _q_sample_pairs(sf_dir: str):
                         sample_size=50, y_param=6, seed=7)
 
 
+def _q_sample_pairs_topk(sf_dir: str):
+    """Deterministic top-overlap half of sample_pairs (fill=False), with
+    sample_size >= |R| so the hash-Bernoulli R-sample is the identity: per r,
+    the y/2 = 3 highest-overlap l docs (distinct shared whitespace tokens,
+    ties by l key) — exactly SQL-expressible, giving the driver a value-hash
+    oracle on this operator (the full fill variant keeps its py-oracle)."""
+    from rayssj.sampler import sample_pairs
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    return sample_pairs(_docs(sf_dir), _docs(sf_dir), "doc_id", "doc_id",
+                        "text", "text", WhitespaceTokenizer(),
+                        sample_size=1_000_000_000, y_param=6, seed=7,
+                        fill=False)
+
+
 def _q_cluster(sf_dir: str):
     from rayssj.cluster import connected_components
     from rayssj.joins import jaccard_join
@@ -456,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_real": _q_media_features_real,
         "media_features_png": _q_media_features_png,
         "sample_pairs": _q_sample_pairs,
+        "sample_pairs_topk": _q_sample_pairs_topk,
     }
 
 
@@ -665,6 +681,15 @@ ranked AS (SELECT query_id, key,
                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, key) rn
            FROM scored)
 SELECT query_id, key FROM ranked WHERE rn <= 10""",
+        "sample_pairs_topk": """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+ov AS (SELECT a.doc_id la, b.doc_id rb, count(*) o
+       FROM dt a JOIN dt b USING (tok) GROUP BY 1, 2),
+rk AS (SELECT la, rb,
+              row_number() OVER (PARTITION BY rb ORDER BY o DESC, la) rn
+       FROM ov)
+SELECT la AS l_doc_id, rb AS r_doc_id FROM rk WHERE rn <= 3""",
         "quality_stats": """SELECT doc_id, length(text) AS n_chars,
        len(regexp_extract_all(text, '\\S+')) AS n_tokens,
        CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0

@@ -52,7 +52,13 @@ def _scalar_hash(value, seed: int) -> np.uint64:
 
 def sample_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
                  r_join_attr, tokenizer, sample_size, y_param, seed=0,
-                 l_out_prefix="l_", r_out_prefix="r_"):
+                 l_out_prefix="l_", r_out_prefix="r_", fill=True):
+    """``fill=False`` returns only the deterministic top-overlap half (the
+    y/2 highest-overlap l-candidates per sampled r, ties by l key) and skips
+    the seeded random fill — useful for hard-pair curation, and the half that
+    is exactly SQL-expressible (token CTE + group count + row_number), which
+    gives the driver a value-hash oracle over this operator
+    (VERDICT r04 next #6)."""
     import ray
     import ray.data as rd
 
@@ -111,6 +117,12 @@ def sample_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr,
     else:
         top_df = (pairs.groupby(rcol).map_groups(top_half, batch_format="pandas")
                        .to_pandas())
+
+    if not fill:
+        out = pd.DataFrame({l_out_prefix + l_key_attr: list(top_df[lcol]),
+                            r_out_prefix + r_key_attr: list(top_df[rcol])})
+        return rd.from_pandas(out.sort_values(list(out.columns),
+                                              ignore_index=True))
     # exclusion pairs (top picks) as flat parallel arrays: l key values +
     # the r column index each excludes — one vectorized get_indexer scatter
     # per batch instead of a per-(r, l) python membership loop (VERDICT r03

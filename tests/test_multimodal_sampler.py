@@ -277,6 +277,28 @@ def test_sample_pairs_deterministic():
     assert not out1.duplicated().any()
 
 
+def test_sample_pairs_topk_only():
+    """fill=False returns exactly the deterministic top-overlap half: a
+    subset of the filled output, at most y/2 rows per r, no randomness."""
+    from rayssj.sampler import sample_pairs
+    from rayssj.tokenizers import WhitespaceTokenizer
+
+    from .test_joins import make_tables
+
+    A, B = make_tables(seed=61, with_edge_cases=False)
+    kw = dict(sample_size=10, y_param=4, seed=3)
+    full = sample_pairs(A, B, "ID", "ID", "name", "name",
+                        WhitespaceTokenizer(), **kw).to_pandas()
+    top = sample_pairs(A, B, "ID", "ID", "name", "name",
+                       WhitespaceTokenizer(), **kw, fill=False).to_pandas()
+    assert (top.groupby("r_ID").size() <= 2).all()  # y/2
+    full_set = set(map(tuple, full.itertuples(index=False)))
+    assert set(map(tuple, top.itertuples(index=False))) <= full_set
+    top2 = sample_pairs(A, B, "ID", "ID", "name", "name",
+                        WhitespaceTokenizer(), **kw, fill=False).to_pandas()
+    pd.testing.assert_frame_equal(top, top2)
+
+
 def test_overlap_filter_rejects_unblockable_comp_op():
     from rayssj.filters import OverlapFilter
     from rayssj.tokenizers import WhitespaceTokenizer
