@@ -191,7 +191,12 @@ def run_bench() -> dict:
 
 
 _SCALE_REPLICAS = int(os.environ.get("RAYSSJ_SCALE_REPLICAS", "96"))
-_SCALE_DIR = f"/tmp/rayssj_scaling_cipher_x{_SCALE_REPLICAS}"
+# v2: 20k-row parquet row groups. v1 wrote one giant row group, which made
+# ray.data's parquet read a SINGLE task — a multi-second serial ramp at the
+# head of every measurement (and unrepresentative: a real corpus is many
+# files). Row groups are the read-parallelism unit.
+_SCALE_DIR = f"/tmp/rayssj_scaling_cipher_v2_x{_SCALE_REPLICAS}"
+_SCALE_ROW_GROUP = 20_000
 
 
 def _cipher_table(i: int) -> bytes | None:
@@ -252,7 +257,8 @@ def _build_scaling_input() -> str:
             texts = (t["text"] if tbl is None else
                      pa.array([s.translate(tbl).decode() for s in texts0]))
             parts.append(pa.table({"doc_id": ids, "text": texts}))
-        pq.write_table(pa.concat_tables(parts), out)
+        pq.write_table(pa.concat_tables(parts), out,
+                       row_group_size=_SCALE_ROW_GROUP)
     return out
 
 
@@ -355,13 +361,26 @@ def main():
         hi = min((run_at(32, env, "--scaling-e2e-level") for _ in range(2)),
                  key=lambda r: r["sec"])
         eff = (lo["sec"] / hi["sec"]) / (32 / 8)
+        # same-window hardware ceiling for an EMISSION-bound job: the e2e
+        # pipeline is dominated by pair-block construction + object-store
+        # movement (memory bandwidth, shared across all cores of one box),
+        # so its single-node 8→32 efficiency is capped by how aggregate copy
+        # bandwidth scales — not by CPU count (tools/membw_microbench.py).
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "membw_microbench.py")
+        bw = json.loads(subprocess.run(
+            [sys.executable, tool], capture_output=True, text=True,
+            check=True).stdout.strip().splitlines()[-1])
         print(json.dumps({
             "input": f"sf0.1 documents cipher-x{_SCALE_REPLICAS} ({_SCALE_REPLICAS * 5000} docs)",
             "headline": "linkage e2e: jaccard ws t=0.9 + transitive clustering",
             "sec_8": lo["sec"], "sec_32": hi["sec"],
             "clusters": hi["clusters"],
             "best_of": 2,
-            "scaling_efficiency": round(eff, 3)}))
+            "scaling_efficiency": round(eff, 3),
+            "membw_ceiling_8_32": bw["membw_scaling_ceiling"],
+            "membw_agg_gbps": {"8": bw["at_8"]["agg_gbps"],
+                               "32": bw["at_32"]["agg_gbps"]}}))
         return
     if "--scaling" in sys.argv:
         path = _build_scaling_input()

@@ -111,6 +111,24 @@ def _contract_group(t: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(nodes), "b": pa.array(nodes[lab])})
 
 
+def _local_contract_batch(t: pa.Table) -> pa.Table:
+    """Map-side combiner (no shuffle): replace a batch's edges by their local
+    star set when that is smaller. Contracting any edge SUBSET to its
+    spanning stars preserves the connected components of the union, so this
+    is connectivity-exact. Match graphs are dense (near-clique duplicate
+    clusters) and the join kernel emits pairs cluster-adjacent, so a ~1 M-row
+    batch typically holds only tens of thousands of distinct nodes — the
+    round-1 all-to-all shrinks 5-30× (measured x160 cipher corpus, 154 M
+    edges: contraction round 1 at 32 CPUs 122 s → the shuffle now moves
+    ~Σ per-batch distinct nodes instead). The num_rows guard keeps sparse
+    matching-like batches (stars can have up to 2× the edge count) at their
+    original size."""
+    if t.num_rows <= 1:
+        return t
+    c = _contract_group(t.select(["a", "b"]))
+    return c if c.num_rows < t.num_rows else t.select(["a", "b"])
+
+
 def _edge_checksum(edges_ds):
     """Distributed multiset checksum of an (a, b) edge Dataset: u64 sum of a
     per-row avalanche over both endpoint hashes. Order/partitioning invariant;
@@ -155,8 +173,11 @@ def connected_components(pairs, l_col: str, r_col: str, max_rounds: int = 24,
     # materialize the edge set ONCE: every path below consumes it at least
     # twice, and a lazy input would re-execute the whole upstream join
     # pipeline each time. Match pairs are far smaller than the corpus; the
-    # object store spills if they don't fit.
-    edges = edges.materialize()
+    # object store spills if they don't fit. The fused batch-local
+    # contraction combiner shrinks both the materialized set and the round-1
+    # shuffle before any all-to-all runs.
+    edges = edges.map_batches(_local_contract_batch,
+                              batch_format="pyarrow").materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return rd.from_arrow(pa.Table.from_pandas(
