@@ -302,9 +302,9 @@ def _q_media_features_real(sf_dir: str):
             "doc_id": t["doc_id"],
             "image_width": t["image_width"],
             "image_height": t["image_height"],
-            "gray_milli": pa.array(
-                [int(round(v[0] * 1000)) for v in t["image_feat"].to_pylist()],
-                type=pa.int64()),
+            "gray_milli": pc.cast(
+                pc.round(pc.multiply(pc.list_element(t["image_feat"], 0),
+                                     1000.0)), pa.int64()),
         }), batch_format="pyarrow")
 
 

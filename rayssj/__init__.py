@@ -37,6 +37,14 @@ from rayssj.cluster import connected_components
 from rayssj.extract import extract_stage, extract_text
 from rayssj.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs, embedding_cosine_pairs
 from rayssj.ann import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
+from rayssj.multimodal import (
+    AudioFeatureExtractor,
+    FrameSampler,
+    ImageFeatureExtractor,
+    ImageResizer,
+    encode_png,
+    media_pipeline,
+)
 
 __all__ = [
     "QgramTokenizer",
@@ -70,4 +78,10 @@ __all__ = [
     "knn_cosine",
     "knn_cosine_ivf",
     "knn_cosine_lsh",
+    "AudioFeatureExtractor",
+    "FrameSampler",
+    "ImageFeatureExtractor",
+    "ImageResizer",
+    "encode_png",
+    "media_pipeline",
 ]

@@ -442,20 +442,25 @@ class ImageResizer:
     """Actor-pool stage: binary image → binary "resized" image.
 
     fake: the payload is truncated/padded deterministically to simulate a
-    bounded-size output. real: decode (built-in PPM/PGM/BMP codecs, Pillow
-    fallback), nearest-neighbor resize to ``target_wh``, re-encode as binary
-    PPM (P6) — a fully self-contained decode→transform→encode pass."""
+    bounded-size output. real: decode (built-in PNG/PPM/PGM/BMP codecs,
+    Pillow fallback), nearest-neighbor resize to ``target_wh``, re-encode as
+    binary PPM (P6, ``out_format="ppm"``) or PNG (built-in encoder,
+    ``out_format="png"`` — the usual thumbnail sink format) — a fully
+    self-contained decode→transform→encode pass."""
 
     def __init__(self, col: str = "image", out_col: str = "image_small",
                  target_bytes: int = 1024, decoder: str = "fake",
-                 target_wh: tuple = (16, 16)):
+                 target_wh: tuple = (16, 16), out_format: str = "ppm"):
         if decoder not in ("fake", "real"):
             raise AssertionError("decoder must be 'fake' or 'real'")
+        if out_format not in ("ppm", "png"):
+            raise AssertionError("out_format must be 'ppm' or 'png'")
         self.col = col
         self.out_col = out_col
         self.target = target_bytes
         self.decoder = decoder
         self.target_wh = target_wh
+        self.out_format = out_format
 
     def _resize_real(self, data: pa.Array) -> pa.Array:
         tw, th = self.target_wh
@@ -468,7 +473,10 @@ class ImageResizer:
             yi = np.linspace(0, img.shape[0] - 1, th).round().astype(int)
             xi = np.linspace(0, img.shape[1] - 1, tw).round().astype(int)
             small = np.ascontiguousarray(img[np.ix_(yi, xi)])
-            out.append(b"P6\n%d %d\n255\n" % (tw, th) + small.tobytes())
+            if self.out_format == "png":
+                out.append(encode_png(small, color_type=2, filter_type=4))
+            else:
+                out.append(b"P6\n%d %d\n255\n" % (tw, th) + small.tobytes())
         return pa.array(out, type=pa.binary())
 
     def __call__(self, batch: pa.Table) -> pa.Table:

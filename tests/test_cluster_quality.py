@@ -170,6 +170,31 @@ def test_symmetric_fixpoint_structures():
     assert d[99] == 0 and d[219] == 200 and d[339] == 300 and d[400] == 400
 
 
+def test_symmetric_fixpoint_string_ids():
+    """The linkage pipeline clusters by URL: the distributed fixpoint path
+    (including the groupby(node).min(component) label emission) must handle
+    string node ids."""
+    import warnings as _w
+
+    import numpy as np
+    import pandas as pd
+
+    from rayssj.cluster import connected_components
+
+    rng = np.random.default_rng(9)
+    ids = [f"https://example.com/doc/{i:04d}" for i in range(300)]
+    a = rng.integers(0, 300, 1200)
+    b = rng.integers(0, 300, 1200)
+    g = pd.DataFrame({"a": [ids[i] for i in a], "b": [ids[j] for j in b]})
+    fast = connected_components(g, "a", "b").to_pandas()
+    with _w.catch_warnings():
+        _w.filterwarnings("error", message="connected_components: no fixpoint")
+        dist = connected_components(g, "a", "b",
+                                    driver_threshold=0).to_pandas()
+    assert (dict(zip(fast["node"], fast["component"]))
+            == dict(zip(dist["node"], dist["component"])))
+
+
 def test_maxrounds_exhaustion_warns_and_is_correct():
     """max_rounds too small to reach fixpoint: the driver pull must warn with
     the measured residual size (ADVICE r04 #1) and still return the right

@@ -225,6 +225,26 @@ def test_real_image_resizer_roundtrip():
     assert np.array_equal(dec[-1, -1], img[-1, -1])
 
 
+def test_real_image_resizer_png_output():
+    """out_format='png': decode (PNG in) → resize → PNG re-encode round-trips
+    through the built-in codec with exact nearest-neighbor corners."""
+    import pyarrow as pa
+
+    from rayssj.multimodal import ImageResizer, _decode_png, encode_png
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    batch = pa.table({"image": [encode_png(img, 2, "cycle"), None]})
+    out = ImageResizer(col="image", decoder="real", target_wh=(10, 5),
+                       out_format="png")(batch)
+    small = out["image_small"].to_pylist()
+    assert small[1] is None
+    dec = _decode_png(small[0])
+    assert dec.shape == (5, 10, 3)
+    assert np.array_equal(dec[0, 0], img[0, 0])
+    assert np.array_equal(dec[-1, -1], img[-1, -1])
+
+
 def test_audio_feature_extractor():
     import pyarrow as pa
 
