@@ -360,6 +360,49 @@ def _q_media_features_png(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_media_features_jpeg(sf_dir: str):
+    """Built-in baseline-JPEG decode path: one solid-gray JPEG per doc
+    (c = byte-length % 256) with the uniform-8 quant table — the one
+    configuration where JPEG round-trips BIT-EXACTLY (DC = (c-128)*8
+    divides the quantizer; AC all zero) — alternating grayscale and
+    YCbCr 4:4:4 encodings by doc. The actor-pool stage runs the full
+    huffman → dequant → IDCT → color-convert pipeline; dims and the grid
+    feature are recomputed by the SQL oracle, value-hash exact."""
+    import pyarrow.compute as pc
+
+    from rayssj.multimodal import ImageFeatureExtractor, encode_jpeg
+
+    def make(t: pa.Table) -> pa.Table:
+        lens = (pc.binary_length(pc.cast(t["text"], pa.binary()))
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        q8 = np.full(64, 8)
+        imgs = []
+        for L in lens:
+            c, w, h = int(L % 256), int(L % 31 + 4), int(L % 19 + 4)
+            img = np.full((h, w, 3), c, dtype=np.uint8)
+            imgs.append(encode_jpeg(img, quant_table=q8,
+                                    grayscale=bool(L % 2)))
+        return pa.table({"doc_id": t["doc_id"],
+                         "image": pa.array(imgs, type=pa.binary())})
+
+    out = (_docs(sf_dir)
+           .map_batches(make, batch_format="pyarrow")
+           .map_batches(ImageFeatureExtractor, batch_format="pyarrow",
+                        batch_size=64, concurrency=2,
+                        fn_constructor_kwargs=dict(col="image", dim=16,
+                                                   decoder="real"),
+                        max_restarts=0))
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "image_width": t["image_width"],
+            "image_height": t["image_height"],
+            "gray_milli": pc.cast(
+                pc.round(pc.multiply(pc.list_element(t["image_feat"], 0),
+                                     1000.0)), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def _q_sample_pairs(sf_dir: str):
     from rayssj.sampler import sample_pairs
     from rayssj.tokenizers import WhitespaceTokenizer
@@ -470,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_features_real": _q_media_features_real,
         "media_features_png": _q_media_features_png,
+        "media_features_jpeg": _q_media_features_jpeg,
         "sample_pairs": _q_sample_pairs,
         "sample_pairs_topk": _q_sample_pairs_topk,
     }
@@ -623,6 +667,12 @@ FROM documents""",
         "media_features_real": """SELECT doc_id,
        CAST(strlen(text) % 37 + 4 AS INT) AS image_width,
        CAST(strlen(text) % 23 + 4 AS INT) AS image_height,
+       CAST(round(((strlen(text) % 256) / 255.0 * 2 - 1) * 1000) AS BIGINT)
+           AS gray_milli
+FROM documents""",
+        "media_features_jpeg": """SELECT doc_id,
+       CAST(strlen(text) % 31 + 4 AS INT) AS image_width,
+       CAST(strlen(text) % 19 + 4 AS INT) AS image_height,
        CAST(round(((strlen(text) % 256) / 255.0 * 2 - 1) * 1000) AS BIGINT)
            AS gray_milli
 FROM documents""",

@@ -42,6 +42,7 @@ from rayssj.multimodal import (
     FrameSampler,
     ImageFeatureExtractor,
     ImageResizer,
+    encode_jpeg,
     encode_png,
     media_pipeline,
 )
@@ -82,6 +83,7 @@ __all__ = [
     "FrameSampler",
     "ImageFeatureExtractor",
     "ImageResizer",
+    "encode_jpeg",
     "encode_png",
     "media_pipeline",
 ]

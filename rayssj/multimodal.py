@@ -302,9 +302,434 @@ def encode_png(img: np.ndarray, color_type: int = 2,
     return out + chunk(b"IEND", b"")
 
 
+# ---------------------------------------------------------------------------
+# Built-in baseline JPEG codec (stdlib + numpy — no Pillow).
+#
+# Decoder: generic baseline JFIF/EXIF — parses DQT/DHT/SOF0/DRI/SOS, huffman
+# entropy decode with byte-unstuffing and restart markers, dequant → inverse
+# zigzag → orthonormal IDCT → chroma upsample (sampling factors 1-2) →
+# YCbCr→RGB. Progressive (SOF2), arithmetic, 12-bit and hierarchical JPEGs
+# raise a capability error that defers to Pillow when importable.
+# Encoder (fixture/sink counterpart): grayscale or YCbCr 4:4:4, canonical
+# equal-length huffman tables built from the data (so no hardcoded Annex-K
+# tables anywhere), caller-supplied or quality-scaled quant tables. With a
+# uniform quant table of 8 a solid-color image round-trips BIT-EXACTLY
+# (DC = (c-128)*8 divides evenly), which is what gives the driver query a
+# full DuckDB value-hash oracle over the decode path.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# Annex-K luminance quant table (quality scaling per the libjpeg convention)
+_JPEG_QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64).reshape(8, 8)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c[0] *= np.sqrt(1 / 8)
+    c[1:] *= np.sqrt(2 / 8)
+    return c  # orthonormal: F = C @ f @ C.T, f = C.T @ F @ C
+
+
+class _JpegCapabilityError(ValueError):
+    """Well-formed JPEG outside the baseline envelope (progressive /
+    arithmetic / 12-bit): defer to Pillow when importable."""
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops at markers. RSTn handling is the caller's job via
+    align_to_marker()."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartHit()
+            else:
+                raise EOFError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self):
+        """Byte-align and consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        while self.buf[self.pos] != 0xFF or not (
+                0xD0 <= self.buf[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartHit(Exception):
+    pass
+
+
+def _huff_decode_map(bits: list, vals: list) -> dict:
+    """DHT (BITS, HUFFVAL) → {(length, code): symbol} canonical map."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(r: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
+    pos = 2  # past SOI
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    comps = None  # list of dicts: id, h, v, tq
+    w = h = None
+    restart_interval = 0
+    scan = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        data = buf[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    raise _JpegCapabilityError("16-bit quant tables")
+                q = np.zeros(64, np.int64)
+                q[_JPEG_ZIGZAG] = np.frombuffer(
+                    data[i + 1:i + 65], np.uint8).astype(np.int64)
+                quant[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17:i + 17 + n])
+                huff[(tc, th)] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if data[0] != 8:
+                raise _JpegCapabilityError("12-bit precision")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            nc = data[5]
+            comps = [{"id": data[6 + 3 * i], "h": data[7 + 3 * i] >> 4,
+                      "v": data[7 + 3 * i] & 0xF, "tq": data[8 + 3 * i]}
+                     for i in range(nc)]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise _JpegCapabilityError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02X})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan = [(data[1 + 2 * i], data[2 + 2 * i] >> 4,
+                     data[2 + 2 * i] & 0xF) for i in range(ns)]
+            pos = pos + 2 + seglen
+            break
+        elif marker == 0xD9:
+            break
+        pos = pos + 2 + seglen
+    if comps is None or scan is None:
+        raise ValueError("malformed JPEG: missing SOF0/SOS")
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise _JpegCapabilityError("sampling factors > 2")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    C = _dct_matrix()
+    by_id = {c["id"]: c for c in comps}
+    planes = {}
+    for cid, _, _ in scan:
+        c = by_id[cid]
+        planes[cid] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                               np.float64)
+    r = _JpegBitReader(buf, pos)
+    pred = {cid: 0 for cid, _, _ in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                r.align_restart()
+                pred = {cid: 0 for cid, _, _ in scan}
+            try:
+                for cid, td, ta in scan:
+                    c = by_id[cid]
+                    dct = huff[(0, td)]
+                    act = huff[(1, ta)]
+                    q = quant[c["tq"]]
+                    for v_ in range(c["v"]):
+                        for h_ in range(c["h"]):
+                            zz = np.zeros(64, np.int64)
+                            s = _huff_read(r, dct)
+                            diff = _extend(r.receive(s), s)
+                            pred[cid] += diff
+                            zz[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_read(r, act)
+                                run, size = rs >> 4, rs & 0xF
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                zz[k] = _extend(r.receive(size), size)
+                                k += 1
+                            blk = np.zeros((8, 8), np.float64)
+                            blk.reshape(-1)[_JPEG_ZIGZAG] = zz
+                            blk *= q
+                            pix = C.T @ blk @ C + 128.0
+                            y0 = (my * c["v"] + v_) * 8
+                            x0 = (mx * c["h"] + h_) * 8
+                            planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
+            except _RestartHit:
+                raise ValueError("unexpected restart marker") from None
+            mcu_count += 1
+
+    out_planes = []
+    for cid, _, _ in scan:
+        c = by_id[cid]
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _huff_encode_table(symbols) -> tuple:
+    """Used symbols → (BITS, HUFFVAL, {sym: (length, code)}): canonical
+    equal-length table (length L with 2^L > n, so the all-ones code stays
+    unused per the JPEG convention). Suboptimal size, zero table-constant
+    risk — the decoder reads whatever DHT declares."""
+    syms = sorted(set(symbols))
+    L = max(1, (len(syms)).bit_length())
+    if (1 << L) <= len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    enc = {s: (L, i) for i, s in enumerate(syms)}
+    return bits, syms, enc
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_block_symbols(zz: np.ndarray, prev_dc: int):
+    """Quantized zigzag block → (dc_symbol_stream, ac_symbol_stream, dc).
+    Streams are lists of (symbol, extra_value, extra_bits)."""
+    diff = int(zz[0]) - prev_dc
+    mag = abs(diff)
+    s = mag.bit_length()
+    dc = [(s, diff if diff >= 0 else diff + (1 << s) - 1, s)]
+    ac = []
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ac.append((0xF0, 0, 0))
+            run -= 16
+        size = abs(v).bit_length()
+        ac.append(((run << 4) | size, v if v >= 0 else v + (1 << size) - 1,
+                   size))
+        run = 0
+    if last < 63:
+        ac.append((0x00, 0, 0))
+    return dc, ac, int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, grayscale: bool = False,
+                quant_table: np.ndarray | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (grayscale or YCbCr 4:4:4).
+    ``quant_table`` (64 values or 8×8) overrides the quality-scaled Annex-K
+    luminance table for ALL components — ``np.full(64, 8)`` makes solid
+    colors round-trip bit-exactly (the oracle-query configuration)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    if quant_table is not None:
+        q = np.asarray(quant_table, dtype=np.int64).reshape(8, 8)
+    else:
+        scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+        q = np.clip((_JPEG_QUANT_LUM * scale + 50) // 100, 1, 255)
+
+    rgb = img.astype(np.float64)
+    if grayscale:
+        planes = [rgb[..., 0]]
+    else:
+        r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+                  -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+                  0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0]
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    C = _dct_matrix()
+    blocks_per_comp = []
+    for p in planes:
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        zzs = []
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                F = C @ (pad[y0:y0 + 8, x0:x0 + 8] - 128.0) @ C.T
+                zq = np.round(F / q).astype(np.int64)
+                zzs.append(zq.reshape(-1)[_JPEG_ZIGZAG])
+        blocks_per_comp.append(zzs)
+
+    # pass 1: symbol collection (per table class; one DC + one AC table)
+    dc_syms, ac_syms = [], []
+    for zzs in blocks_per_comp:
+        prev = 0
+        for zz in zzs:
+            dcs, acs, prev = _jpeg_block_symbols(zz, prev)
+            dc_syms += [s for s, _, _ in dcs]
+            ac_syms += [s for s, _, _ in acs]
+    dc_bits, dc_vals, dc_enc = _huff_encode_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _huff_encode_table(ac_syms)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xFF\xD8")
+    zz_q = np.zeros(64, np.int64)
+    zz_q[np.arange(64)] = q.reshape(-1)[_JPEG_ZIGZAG]
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    nc = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    wtr = _JpegBitWriter()
+    n_blocks = len(blocks_per_comp[0])
+    prevs = [0] * nc
+    for bi in range(n_blocks):  # 4:4:4 → MCU = one block per component
+        for ci, zzs in enumerate(blocks_per_comp):
+            dcs, acs, prevs[ci] = _jpeg_block_symbols(zzs[bi], prevs[ci])
+            for sym, extra, nbits in dcs:
+                ln, code = dc_enc[sym]
+                wtr.write(code, ln)
+                if nbits:
+                    wtr.write(extra, nbits)
+            for sym, extra, nbits in acs:
+                ln, code = ac_enc[sym]
+                wtr.write(code, ln)
+                if nbits:
+                    wtr.write(extra, nbits)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 def _decode_image(buf: bytes) -> np.ndarray:
-    """Image bytes → (h, w, 3) uint8 RGB: built-in PNG/PPM/PGM/BMP codecs
-    first, Pillow for anything else when importable."""
+    """Image bytes → (h, w, 3) uint8 RGB: built-in PNG/JPEG/PPM/PGM/BMP
+    codecs first, Pillow for anything else when importable."""
     if buf[:2] in (b"P6", b"P5"):
         return _decode_ppm(buf)
     if buf[:2] == b"BM":
@@ -314,6 +739,11 @@ def _decode_image(buf: bytes) -> np.ndarray:
             return _decode_png(buf)
         except _PngCapabilityError:
             pass  # 16-bit/interlaced: fall through to Pillow if present
+    if buf[:2] == b"\xFF\xD8":
+        try:
+            return _decode_jpeg(buf)
+        except _JpegCapabilityError:
+            pass  # progressive/12-bit/4:4+ sampling: Pillow if present
     try:
         from PIL import Image  # noqa: import-guard — optional dependency
     except ImportError:

@@ -225,6 +225,55 @@ def test_real_image_resizer_roundtrip():
     assert np.array_equal(dec[-1, -1], img[-1, -1])
 
 
+def test_jpeg_roundtrip_and_exactness():
+    """Built-in baseline JPEG codec: solid colors with the uniform-8 quant
+    table round-trip BIT-EXACTLY (the oracle-query configuration); smooth
+    and noisy content stays within small quantization error at high quality;
+    grayscale and YCbCr 4:4:4 modes both decode."""
+    from rayssj.multimodal import _decode_jpeg, encode_jpeg
+
+    q8 = np.full(64, 8)
+    for c in (0, 7, 37, 128, 200, 255):
+        img = np.full((12, 21, 3), c, dtype=np.uint8)
+        assert np.array_equal(_decode_jpeg(encode_jpeg(img, quant_table=q8)),
+                              img)
+        assert np.array_equal(
+            _decode_jpeg(encode_jpeg(img, quant_table=q8, grayscale=True)),
+            img)
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.add.outer(np.zeros(40), x)[..., None]
+                   + rng.normal(0, 2, (40, 64, 1)), 0, 255
+                   ).astype(np.uint8).repeat(3, axis=2)
+    out = _decode_jpeg(encode_jpeg(grad, quality=90))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.mean() < 3 and err.max() < 40
+    color = np.zeros((9, 15, 3), np.uint8)
+    color[..., 0], color[..., 1], color[..., 2] = 200, 50, 120
+    out = _decode_jpeg(encode_jpeg(color, quant_table=q8))
+    assert np.abs(out.astype(int) - color.astype(int)).max() <= 2
+
+
+def test_jpeg_capability_and_dispatch():
+    """Progressive JPEGs (SOF2) raise toward Pillow; 8-bit baseline decodes
+    built-in via the FFD8 signature dispatch."""
+    from rayssj.multimodal import _decode_image, encode_jpeg
+
+    img = np.full((8, 10, 3), 99, dtype=np.uint8)
+    buf = encode_jpeg(img, quant_table=np.full(64, 8))
+    assert np.array_equal(_decode_image(buf), img)
+
+    # flip the SOF0 marker (FFC0) to SOF2 (FFC2): progressive
+    prog = bytearray(buf)
+    i = prog.find(b"\xFF\xC0")
+    prog[i + 1] = 0xC2
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ValueError, match="install Pillow"):
+            _decode_image(bytes(prog))
+
+
 def test_real_image_resizer_png_output():
     """out_format='png': decode (PNG in) → resize → PNG re-encode round-trips
     through the built-in codec with exact nearest-neighbor corners."""
