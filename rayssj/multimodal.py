@@ -637,49 +637,82 @@ def _jpeg_block_symbols(zz: np.ndarray, prev_dc: int):
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85, grayscale: bool = False,
-                quant_table: np.ndarray | None = None) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (grayscale or YCbCr 4:4:4).
-    ``quant_table`` (64 values or 8×8) overrides the quality-scaled Annex-K
-    luminance table for ALL components — ``np.full(64, 8)`` makes solid
-    colors round-trip bit-exactly (the oracle-query configuration)."""
+                quant_table: np.ndarray | None = None,
+                subsampling: tuple = (1, 1)) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes: grayscale, YCbCr 4:4:4
+    (default), or chroma-subsampled — ``subsampling=(2, 2)`` is 4:2:0,
+    ``(2, 1)`` is 4:2:2 (the luma sampling factors; chroma is 2×2/2×1 block
+    mean). ``quant_table`` (64 values or 8×8) overrides the quality-scaled
+    Annex-K luminance table for ALL components — ``np.full(64, 8)`` makes
+    solid colors round-trip bit-exactly (the oracle-query configuration)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[0], img.shape[1]
+    sh, sv = subsampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise AssertionError("subsampling factors must be 1 or 2")
     if quant_table is not None:
         q = np.asarray(quant_table, dtype=np.int64).reshape(8, 8)
     else:
         scale = 5000 // quality if quality < 50 else 200 - 2 * quality
         q = np.clip((_JPEG_QUANT_LUM * scale + 50) // 100, 1, 255)
 
+    def downsample(p: np.ndarray) -> np.ndarray:
+        if sh == 1 and sv == 1:
+            return p
+        hh = (p.shape[0] + sv - 1) // sv * sv
+        ww = (p.shape[1] + sh - 1) // sh * sh
+        p = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                   mode="edge")
+        return p.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+
     rgb = img.astype(np.float64)
     if grayscale:
-        planes = [rgb[..., 0]]
+        comps = [(rgb[..., 0], 1, 1)]
     else:
         r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        planes = [0.299 * r_ + 0.587 * g_ + 0.114 * b_,
-                  -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
-                  0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0]
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
+        y_ = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        comps = [(y_, sh, sv), (downsample(cb), 1, 1),
+                 (downsample(cr), 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     C = _dct_matrix()
-    blocks_per_comp = []
-    for p in planes:
-        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        zzs = []
+    grids = []  # per comp: 2-D list [by][bx] of quantized zigzag blocks
+    for p, ch_, cv_ in comps:
+        ph = mcuy * cv_ * 8
+        pw = mcux * ch_ * 8
+        pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                     mode="edge")
+        grid = []
         for y0 in range(0, ph, 8):
+            row = []
             for x0 in range(0, pw, 8):
                 F = C @ (pad[y0:y0 + 8, x0:x0 + 8] - 128.0) @ C.T
                 zq = np.round(F / q).astype(np.int64)
-                zzs.append(zq.reshape(-1)[_JPEG_ZIGZAG])
-        blocks_per_comp.append(zzs)
+                row.append(zq.reshape(-1)[_JPEG_ZIGZAG])
+            grid.append(row)
+        grids.append(grid)
 
-    # pass 1: symbol collection (per table class; one DC + one AC table)
+    # flat block stream in exact scan (MCU-interleaved) order
+    stream = []  # (comp_index, zigzag block)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, ch_, cv_) in enumerate(comps):
+                for v_ in range(cv_):
+                    for h_ in range(ch_):
+                        stream.append((ci, grids[ci][my * cv_ + v_]
+                                       [mx * ch_ + h_]))
+
+    # pass 1: symbol collection (one DC + one AC table for all components)
     dc_syms, ac_syms = [], []
-    for zzs in blocks_per_comp:
-        prev = 0
-        for zz in zzs:
-            dcs, acs, prev = _jpeg_block_symbols(zz, prev)
-            dc_syms += [s for s, _, _ in dcs]
-            ac_syms += [s for s, _, _ in acs]
+    prevs = [0] * len(comps)
+    for ci, zz in stream:
+        dcs, acs, prevs[ci] = _jpeg_block_symbols(zz, prevs[ci])
+        dc_syms += [s for s, _, _ in dcs]
+        ac_syms += [s for s, _, _ in acs]
     dc_bits, dc_vals, dc_enc = _huff_encode_table(dc_syms)
     ac_bits, ac_vals, ac_enc = _huff_encode_table(ac_syms)
 
@@ -688,14 +721,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, grayscale: bool = False,
             + payload
 
     out = bytearray(b"\xFF\xD8")
-    zz_q = np.zeros(64, np.int64)
-    zz_q[np.arange(64)] = q.reshape(-1)[_JPEG_ZIGZAG]
+    zz_q = q.reshape(-1)[_JPEG_ZIGZAG]
     out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
-    nc = len(planes)
+    nc = len(comps)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([nc])
-    for i in range(nc):
-        sof += bytes([i + 1, 0x11, 0])
+    for i, (_, ch_, cv_) in enumerate(comps):
+        sof += bytes([i + 1, (ch_ << 4) | cv_, 0])
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
@@ -705,22 +737,21 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, grayscale: bool = False,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
+    # pass 2: entropy coding, same stream order
     wtr = _JpegBitWriter()
-    n_blocks = len(blocks_per_comp[0])
     prevs = [0] * nc
-    for bi in range(n_blocks):  # 4:4:4 → MCU = one block per component
-        for ci, zzs in enumerate(blocks_per_comp):
-            dcs, acs, prevs[ci] = _jpeg_block_symbols(zzs[bi], prevs[ci])
-            for sym, extra, nbits in dcs:
-                ln, code = dc_enc[sym]
-                wtr.write(code, ln)
-                if nbits:
-                    wtr.write(extra, nbits)
-            for sym, extra, nbits in acs:
-                ln, code = ac_enc[sym]
-                wtr.write(code, ln)
-                if nbits:
-                    wtr.write(extra, nbits)
+    for ci, zz in stream:
+        dcs, acs, prevs[ci] = _jpeg_block_symbols(zz, prevs[ci])
+        for sym, extra, nbits in dcs:
+            ln, code = dc_enc[sym]
+            wtr.write(code, ln)
+            if nbits:
+                wtr.write(extra, nbits)
+        for sym, extra, nbits in acs:
+            ln, code = ac_enc[sym]
+            wtr.write(code, ln)
+            if nbits:
+                wtr.write(extra, nbits)
     wtr.flush()
     out += wtr.out
     out += b"\xFF\xD9"

@@ -254,6 +254,27 @@ def test_jpeg_roundtrip_and_exactness():
     assert np.abs(out.astype(int) - color.astype(int)).max() <= 2
 
 
+def test_jpeg_chroma_subsampling():
+    """4:2:0 / 4:2:2 encodes exercise the decoder's generic MCU sampling
+    loop (the layout real-world JPEGs use): smooth content within
+    quantization+subsampling bounds, solid colors bit-exact at q=8."""
+    from rayssj.multimodal import _decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 50)
+    y = np.linspace(0, 200, 37)
+    base = np.add.outer(y, x) / 2
+    img = np.stack([base, base[::-1], np.full_like(base, 80)],
+                   axis=2).astype(np.uint8)
+    for ss in [(2, 2), (2, 1), (1, 2)]:
+        out = _decode_jpeg(encode_jpeg(img, quality=92, subsampling=ss))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 3 and err.max() < 25, (ss, err.max())
+    solid = np.full((13, 22, 3), 129, np.uint8)
+    out = _decode_jpeg(encode_jpeg(solid, quant_table=np.full(64, 8),
+                                   subsampling=(2, 2)))
+    assert np.array_equal(out, solid)
+
+
 def test_jpeg_capability_and_dispatch():
     """Progressive JPEGs (SOF2) raise toward Pillow; 8-bit baseline decodes
     built-in via the FFD8 signature dispatch."""
